@@ -1,0 +1,88 @@
+"""Render configuration.
+
+Parity with the reference 23-key ``config.json``
+(reference: gpu_path_tracer/res/configuration/config.json:1-25, schema doc
+Core/config_parser.h:38-65, POD struct Core/configuration.h:9-34).
+
+The reference copies its config struct into CUDA managed memory so kernels can
+read it and the UI can mutate it live (Core/config_parser.cpp:159-187).  On
+TPU the config is a frozen Python dataclass whose fields become *static*
+(compile-time) constants of the jitted render step; anything meant to be
+live-editable without recompilation (materials, camera, transforms) is a traced
+input instead.
+
+Deliberate fix vs reference: the reference parses "FOV" with parse_bool
+(Core/config_parser.cpp:111) and then overrides the camera FOV to 45 degrees
+(Main/window.cpp:356-360).  We parse it as a float and honor it.
+
+CUDA-only keys (BlockSize, MaxBlockSize, BvhBuildBlockSize, CUDAAcceleration,
+FullScreen) are accepted by the parser for file compatibility but have no
+device meaning here; BlockSize's role (work granularity) maps to `chunk_size`,
+the ray-chunk length over which each while-loop traversal runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class BvhBuildMethod(enum.Enum):
+    """Reference: Bvh/bvh_build_config.h (NaiveCPU / MortonCodeCPU / MortonCodeCUDA).
+
+    The TPU build has a host SAH builder (quality, per-scene) and a jittable
+    LBVH (device, for dynamic rebuild parity).  Reference names are accepted as
+    aliases by the config parser.
+    """
+
+    SAH = "SAH"
+    LBVH = "LBVH"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # image
+    width: int = 1440
+    height: int = 900
+    use_fullscreen: bool = False  # accepted for parity; headless build ignores it
+
+    # work granularity (CUDA BlockSize analog: rays per traversal chunk)
+    chunk_size: int = 8192
+
+    # integrator
+    max_tracer_depth: int = 20
+    vector_bias_length: float = 0.0002  # "BiasLength": ray origin epsilon
+    energy_exist_threshold: float = 0.000001  # low-energy ray kill (biased, as reference)
+    sss_threshold: float = 0.000001  # |absorption| above which medium events run
+
+    # environment / sampling toggles
+    use_sky_box: bool = True
+    use_sky: bool = False
+    use_bilinear: bool = True
+    gamma_correction: bool = True
+    use_anti_alias: bool = True
+    fov: float = 45.0
+
+    # BVH build
+    bvh_leaf_node_triangle_num: int = 1
+    bvh_bucket_max_divide_internal_num: int = 12
+    bvh_build: BvhBuildMethod = BvhBuildMethod.SAH
+
+    # participating medium the camera starts in ("air")
+    air_refraction_index: float = 1.000293
+    air_absorption_coef: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    air_reduced_scattering_coef: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # new in the TPU build ------------------------------------------------
+    # samples accumulated per render_pass call (reference: 1 pass per frame)
+    spp_per_pass: int = 1
+    # max traversal iterations per while loop; 0 = 2 * node_count (safe bound)
+    max_traversal_steps: int = 0
+
+    @property
+    def pixel_count(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,45 @@
+"""Device mesh construction.
+
+The reference is single-GPU (SURVEY.md §2 parallelism checklist: data
+parallelism only, one CUDA thread per pixel).  The TPU-native scaling model
+(BASELINE.json north star):
+
+  * rays/pixels sharded over chips — the `rays` mesh axis (pure data
+    parallelism over ICI; no per-bounce communication because each chip owns
+    its pixels end-to-end);
+  * optionally samples-per-pixel sharded over a second `spp` axis — each chip
+    traces the same pixels with different sample ids and the accumulation is
+    psum-reduced;
+  * scene/BVH/materials replicated (they fit HBM for every reference-class
+    scene; primitive-range sharding is the documented escape hatch for
+    beyond-HBM scenes);
+  * for inverse rendering, material-parameter gradients are psum all-reduced.
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh and
+the same code runs over DCN+ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+RAY_AXIS = "rays"
+SAMPLE_AXIS = "spp"
+
+
+def make_render_mesh(num_devices: Optional[int] = None,
+                     sample_parallel: int = 1) -> Mesh:
+    """1D mesh over rays, or 2D (rays, spp) when sample_parallel > 1."""
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if sample_parallel > 1:
+        if n % sample_parallel:
+            raise ValueError(f"{n} devices not divisible by spp={sample_parallel}")
+        grid = devices.reshape(n // sample_parallel, sample_parallel)
+        return Mesh(grid, (RAY_AXIS, SAMPLE_AXIS))
+    return Mesh(devices.reshape(n), (RAY_AXIS,))

@@ -1,0 +1,161 @@
+"""Progressive render session.
+
+The API analog of the reference's path_tracer orchestrator + window loop
+(Core/path_tracer.{h,cpp}, Main/window.cpp): owns the accumulation image and
+pass counter, advances one pass per `render()`, resets on any edit
+(`clear()`, reference Core/path_tracer.cpp:101-107), exports PNG screenshots
+with a metrics-encoded filename (Main/window.cpp:712-740), and supports
+checkpoint/resume — a capability the reference lacks (progressive state was
+in-memory only).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracerwithcuda_tpu.config import RenderConfig
+from pathtracerwithcuda_tpu.core.camera import ViewCamera
+from pathtracerwithcuda_tpu.core.types import SceneData
+from pathtracerwithcuda_tpu.ops.tonemap import to_uint8
+from pathtracerwithcuda_tpu.render.wavefront import render_pass
+from pathtracerwithcuda_tpu.scene.build import HostScene, build_scene_data
+from pathtracerwithcuda_tpu.utils.image_io import save_png, screenshot_filename
+
+
+class RenderSession:
+    def __init__(self, host_scene: HostScene, config: RenderConfig,
+                 camera: Optional[ViewCamera] = None, seed: int = 0,
+                 scene_data: Optional[SceneData] = None):
+        self.host_scene = host_scene
+        self.config = config
+        self.camera = camera or ViewCamera()
+        self.camera.set_resolution(config.width, config.height)
+        self.camera.set_fov(config.fov)
+        self.scene: SceneData = (
+            scene_data if scene_data is not None else build_scene_data(host_scene, config)
+        )
+        self.base_key = jax.random.PRNGKey(seed)
+        self.accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
+        self.pass_counter = 0
+        self.start_time = time.monotonic()
+        self.last_frame_ms = 0.0
+
+    # ------------------------------------------------------------------
+    def render(self) -> None:
+        """Advance one progressive pass (reference render(),
+        Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate)."""
+        t0 = time.monotonic()
+        self.accum = render_pass(
+            self.scene,
+            self.camera.get_render_camera(),
+            self.config,
+            self.accum,
+            self.pass_counter,
+            self.base_key,
+        )
+        self.accum.block_until_ready()
+        self.last_frame_ms = (time.monotonic() - t0) * 1e3
+        self.pass_counter += 1
+
+    def clear(self) -> None:
+        """Reset accumulation (reference clear(), Core/path_tracer.cpp:101-107)."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.pass_counter = 0
+        self.start_time = time.monotonic()
+
+    # ------------------------------------------------------------------
+    def image_u8(self) -> np.ndarray:
+        """(H, W, 3) uint8 display image."""
+        u8 = to_uint8(self.accum, self.pass_counter, self.config.gamma_correction)
+        return np.asarray(u8).reshape(self.config.height, self.config.width, 3)
+
+    def screenshot(self, directory: str = ".") -> str:
+        import os
+
+        name = screenshot_filename(
+            self.last_frame_ms,
+            self.pass_counter,
+            time.monotonic() - self.start_time,
+            self.config.width,
+            self.config.height,
+        )
+        path = os.path.join(directory, name)
+        save_png(path, self.image_u8())
+        return path
+
+    # ------------------------------------------------------------------
+    # live edits — each rebuilds the affected device data and clears
+    # accumulation, the semantics of the reference UI handlers
+    # (Core/path_tracer.cpp:109-369)
+    def set_sphere(self, index: int, center=None, radius=None, material: dict = None):
+        if center is not None:
+            self.host_scene.sphere_centers[index] = np.asarray(center, np.float32)
+        if radius is not None:
+            self.host_scene.sphere_radii[index] = float(radius)
+        if material is not None:
+            mat_id = int(self.host_scene.sphere_material_ids[index])
+            self.host_scene.materials[mat_id] = material
+        self._rebuild()
+
+    def set_material(self, material_index: int, material: dict):
+        self.host_scene.materials[material_index] = material
+        self._rebuild()
+
+    def set_mesh_transform(self, mesh_index: int, position=None, scale=None):
+        mesh = self.host_scene.meshes[mesh_index]
+        if position is not None:
+            mesh.position = np.asarray(position, np.float32)
+        if scale is not None:
+            mesh.scale = np.asarray(scale, np.float32)
+        self._rebuild()
+
+    def set_mesh_rotate(self, mesh_index: int, rotate):
+        """Rotation edits re-bake vertices and rebuild (reference
+        apply_mesh_rotate, Core/triangle_mesh.cpp:335-426)."""
+        from pathtracerwithcuda_tpu.scene.build import rotation_matrix_zyx
+
+        mesh = self.host_scene.meshes[mesh_index]
+        old = rotation_matrix_zyx(mesh.rotate)
+        new = rotation_matrix_zyx(rotate)
+        delta = (new @ np.linalg.inv(old)).astype(np.float32)
+        mesh.vertices = mesh.vertices @ delta.T
+        n = mesh.normals @ np.linalg.inv(delta)  # == @ inv(delta).T.T
+        mesh.normals = (
+            n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        ).astype(np.float32)
+        mesh.rotate = np.asarray(rotate, np.float32)
+        self._rebuild()
+
+    def _rebuild(self):
+        self.scene = build_scene_data(self.host_scene, self.config)
+        self.clear()
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume (new capability; SURVEY.md §5 "checkpoint: none")
+    def save_checkpoint(self, path: str) -> None:
+        import os
+
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self.accum),
+            pass_counter=self.pass_counter,
+            base_key=np.asarray(self.base_key),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.accum = jnp.asarray(data["accum"])
+        self.pass_counter = int(data["pass_counter"])
+        self.base_key = jnp.asarray(data["base_key"])
+
+    @property
+    def fps(self) -> float:
+        elapsed = time.monotonic() - self.start_time
+        return self.pass_counter / elapsed if elapsed > 0 else 0.0

@@ -1,0 +1,417 @@
+"""Wavefront path-tracing integrator.
+
+TPU re-design of the reference's per-frame kernel pipeline
+(Kernel/path_tracer_kernel.cu:685-780): init state → generate rays → bounce
+loop → accumulate/tone-map.  Differences forced (and enabled) by the
+hardware:
+
+* The CUDA wavefront compacts the active-ray list with thrust::remove_if
+  every bounce (:767).  XLA needs static shapes, so lanes carry an `active`
+  mask instead; the bounce loop is a `lax.while_loop` that exits early when
+  every lane is dead (the analog of the reference's `break` at :740-743), or a
+  `lax.scan` of fixed depth when reverse-mode gradients are needed.
+* The megakernel's material branches (:494-624) are evaluated for all lanes
+  and selected — the VPU computes all three lobes in parallel rather than
+  diverging.
+* Per-mesh sequential BVH walks (:443-454) collapse into one walk over the
+  concatenated skip-link node array.
+
+Every radiometric decision matches the reference shading semantics, including
+its deliberate quirks (documented in SURVEY.md §7): biased low-energy ray
+kill, emission added only on the diffuse branch, refraction throughput scaled
+by (n_out/n_in)^2, SSS using only the .x channel of sigma_s' with an
+isotropic phase function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from pathtracerwithcuda_tpu.config import RenderConfig
+from pathtracerwithcuda_tpu.core.types import RenderCamera, SceneData
+from pathtracerwithcuda_tpu.ops import rng
+from pathtracerwithcuda_tpu.ops.fresnel import fresnel_conductor, fresnel_dielectric
+from pathtracerwithcuda_tpu.ops.intersect import INF, nearest_sphere
+from pathtracerwithcuda_tpu.ops.linalg import dot, length, reflect, refract
+from pathtracerwithcuda_tpu.ops.raygen import generate_rays
+from pathtracerwithcuda_tpu.ops.sampling import (
+    cosine_hemisphere,
+    ggx_half_vector,
+    ggx_smith_g1,
+    remap_roughness,
+    uniform_sphere,
+)
+from pathtracerwithcuda_tpu.ops.texture import background_color, sample_atlas
+from pathtracerwithcuda_tpu.ops.traversal import (
+    brute_force_nearest_triangle,
+    hit_attributes,
+    traverse_bvh,
+)
+
+Array = jnp.ndarray
+
+
+@flax.struct.dataclass
+class RayState:
+    """Per-lane wavefront state (the reference's five managed buffers,
+    Core/path_tracer.h:45-49, plus the ray itself)."""
+
+    origin: Array  # (P, 3)
+    direction: Array  # (P, 3)
+    throughput: Array  # (P, 3)  "not_absorbed_colors"
+    radiance: Array  # (P, 3)  "accumulated_colors"
+    active: Array  # (P,) bool — replaces the compacted index list
+    med_absorption: Array  # (P, 3) current medium sigma_a
+    med_scattering: Array  # (P, 3) current medium sigma_s'
+
+
+def _initial_state(origin, direction, config: RenderConfig) -> RayState:
+    p = origin.shape[0]
+    f3 = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (p, 3))
+    return RayState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((p, 3), jnp.float32),
+        radiance=jnp.zeros((p, 3), jnp.float32),
+        active=jnp.ones((p,), bool),
+        med_absorption=f3(config.air_absorption_coef),
+        med_scattering=f3(config.air_reduced_scattering_coef),
+    )
+
+
+# --------------------------------------------------------------------------
+# nearest hit
+# --------------------------------------------------------------------------
+
+
+def _traverse_chunked(origin, direction, scene: SceneData, bound, chunk_size: int):
+    """Skip-link BVH walk, optionally chunked so each while-loop's divergence
+    domain is one coherent pixel tile rather than the whole wavefront."""
+    p = origin.shape[0]
+    if chunk_size and p > chunk_size and p % chunk_size == 0:
+        def one(args):
+            o, d, b = args
+            return traverse_bvh(
+                o, d, scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri,
+                scene.tri_v0, scene.tri_v1, scene.tri_v2, b,
+            )
+        tri_idx, tri_t = jax.lax.map(
+            one,
+            (
+                origin.reshape(-1, chunk_size, 3),
+                direction.reshape(-1, chunk_size, 3),
+                bound.reshape(-1, chunk_size),
+            ),
+        )
+        return tri_idx.reshape(p), tri_t.reshape(p)
+    return traverse_bvh(
+        origin, direction, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+        scene.bvh_tri, scene.tri_v0, scene.tri_v1, scene.tri_v2, bound,
+    )
+
+
+def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig):
+    """Closest sphere-or-triangle hit per ray.
+
+    Returns (min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit); min_t is
+    differentiable (recomputed outside the traversal loop), inf on miss.
+    Sphere wins exact ties, as in the reference's `hit_t < min_t` comparison
+    (Kernel/path_tracer_kernel.cu:445).
+    """
+    p = origin.shape[0]
+    if scene.num_spheres > 0:
+        sph_t, sph_idx = nearest_sphere(
+            origin, direction, scene.sphere_center, scene.sphere_radius
+        )
+    else:
+        sph_t = jnp.full((p,), INF)
+        sph_idx = jnp.full((p,), -1, jnp.int32)
+
+    if scene.num_triangles > 0:
+        if scene.num_bvh_nodes > 1:
+            tri_idx, _ = _traverse_chunked(
+                origin, direction, scene, jax.lax.stop_gradient(sph_t),
+                config.chunk_size,
+            )
+        else:
+            tri_idx, _ = brute_force_nearest_triangle(
+                jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction),
+                scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                jax.lax.stop_gradient(sph_t),
+            )
+        tri_t, b1, b2 = hit_attributes(
+            origin, direction, tri_idx, scene.tri_v0, scene.tri_v1, scene.tri_v2
+        )
+    else:
+        tri_idx = jnp.full((p,), -1, jnp.int32)
+        tri_t = jnp.full((p,), INF)
+        b1 = b2 = jnp.zeros((p,), jnp.float32)
+
+    is_tri = tri_idx >= 0
+    min_t = jnp.where(is_tri, tri_t, sph_t)
+    any_hit = is_tri | (sph_idx >= 0)
+    return min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit
+
+
+# --------------------------------------------------------------------------
+# one bounce
+# --------------------------------------------------------------------------
+
+
+def bounce_step(state: RayState, scene: SceneData, config: RenderConfig, uniforms) -> RayState:
+    """One wavefront bounce: intersect → medium event → shade/miss → select.
+
+    uniforms: (P, 6), slot layout per ops.rng.bounce_uniforms.
+    """
+    o, d = state.origin, state.direction
+    p = o.shape[0]
+    mats = scene.materials
+
+    min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit = nearest_hit(o, d, scene, config)
+
+    # ---- homogeneous medium event (Kernel/path_tracer_kernel.cu:456-492)
+    rs_x = state.med_scattering[:, 0]
+    medium_on = (rs_x > 0.0) | (length(state.med_absorption) > config.sss_threshold)
+    # double-where: the rs_x == 0 branch must not divide by ~0, or its NaN/huge
+    # gradient poisons d(loss)/d(reduced_scattering)
+    rs_safe = jnp.where(rs_x > 0.0, rs_x, 1.0)
+    free_flight = jnp.where(
+        rs_x > 0.0,
+        -jnp.log(jnp.maximum(uniforms[:, 0], 1e-37)) / rs_safe,
+        INF,
+    )
+    scatter = state.active & medium_on & (free_flight < min_t)
+    # absorption path length; a ray escaping to infinity inside an absorbing
+    # medium gets a large finite path (reference hits 0*inf NaN here — fixed;
+    # 1e4 keeps exp(-a*t) ≈ 0 for any visible a while bounding gradients)
+    absorb_t = jnp.where(scatter, free_flight, jnp.minimum(min_t, 1e4))
+    absorb_t = jnp.minimum(absorb_t, 1e4)
+    medium_atten = jnp.where(
+        medium_on[:, None],
+        jnp.exp(-state.med_absorption * absorb_t[:, None]),
+        1.0,
+    )
+    thr = state.throughput * medium_atten
+
+    scatter_dir = uniform_sphere(uniforms[:, 1], uniforms[:, 2])
+    # inf distances must not reach o + d*t: the select zeroes the primal but
+    # the product rule turns (0 cotangent) * (inf primal) into NaN on d
+    ff_safe = jnp.where(scatter, jnp.minimum(free_flight, 1e30), 0.0)
+    scatter_origin = o + d * ff_safe[:, None]
+
+    # ---- surface shading (all lanes, masked select at the end)
+    surf = state.active & ~scatter & any_hit
+    miss = state.active & ~scatter & ~any_hit
+
+    safe_tri = jnp.clip(tri_idx, 0, max(scene.num_triangles - 1, 0))
+    safe_sph = jnp.clip(sph_idx, 0, max(scene.num_spheres - 1, 0))
+    if scene.num_triangles > 0:
+        tri_mat = scene.tri_material[safe_tri]
+    else:
+        tri_mat = jnp.zeros((p,), jnp.int32)
+    if scene.num_spheres > 0:
+        sph_mat = scene.sphere_material[safe_sph]
+    else:
+        sph_mat = jnp.zeros((p,), jnp.int32)
+    mat_id = jnp.where(is_tri, tri_mat, sph_mat)
+
+    t_safe = jnp.where(any_hit, min_t, 0.0)  # same inf-guard as ff_safe
+    hit_point = o + d * t_safe[:, None]
+    w0 = 1.0 - b1 - b2
+    if scene.num_triangles > 0:
+        tri_normal = (
+            scene.tri_n0[safe_tri] * w0[:, None]
+            + scene.tri_n1[safe_tri] * b1[:, None]
+            + scene.tri_n2[safe_tri] * b2[:, None]
+        )  # deliberately unnormalized (reference :505-507)
+        uv = (
+            scene.tri_uv0[safe_tri] * w0[:, None]
+            + scene.tri_uv1[safe_tri] * b1[:, None]
+            + scene.tri_uv2[safe_tri] * b2[:, None]
+        )
+    else:
+        tri_normal = jnp.zeros((p, 3), jnp.float32)
+        uv = jnp.zeros((p, 2), jnp.float32)
+    if scene.num_spheres > 0:
+        sph_normal_raw = hit_point - scene.sphere_center[safe_sph]
+        sph_normal = sph_normal_raw / jnp.maximum(length(sph_normal_raw), 1e-20)[:, None]
+    else:
+        sph_normal = jnp.zeros((p, 3), jnp.float32)
+    normal = jnp.where(is_tri[:, None], tri_normal, sph_normal)
+
+    # texture modulation (triangles only; :509-526)
+    diffuse_color = mats.diffuse[mat_id]
+    specular_color = mats.specular[mat_id]
+    d_tex = mats.diffuse_texture_id[mat_id]
+    s_tex = mats.specular_texture_id[mat_id]
+    if scene.textures.count > 0 and scene.num_triangles > 0:
+        d_tex_on = is_tri & (d_tex >= 0)
+        s_tex_on = is_tri & (s_tex >= 0)
+        d_sample = sample_atlas(scene.textures, d_tex, uv, config.use_bilinear)
+        s_sample = sample_atlas(scene.textures, s_tex, uv, config.use_bilinear)
+        diffuse_color = jnp.where(d_tex_on[:, None], diffuse_color * d_sample, diffuse_color)
+        specular_color = jnp.where(s_tex_on[:, None], specular_color * s_sample, specular_color)
+
+    mat_n = mats.refraction_index[mat_id]
+    mat_k = mats.extinction[mat_id]
+    transparent = mats.transparent[mat_id] > 0.5
+    air_n = jnp.float32(config.air_refraction_index)
+    air_abs = jnp.asarray(config.air_absorption_coef, jnp.float32)
+    air_rs = jnp.asarray(config.air_reduced_scattering_coef, jnp.float32)
+
+    back = dot(d, normal) > 0.0
+    normal = jnp.where(back[:, None], -normal, normal)
+    swap = back & transparent  # entering from inside a transparent object
+    n_in = jnp.where(swap, mat_n, air_n)
+    n_out = jnp.where(swap, air_n, mat_n)
+    out_absorption = jnp.where(swap[:, None], air_abs[None, :], mats.absorption[mat_id])
+    out_scattering = jnp.where(swap[:, None], air_rs[None, :], mats.reduced_scattering[mat_id])
+
+    reflection_dir = reflect(normal, d)
+    del reflection_dir  # the reference computes but only uses the GGX micro-reflection
+    refraction_dir = refract(normal, d, n_in, n_out)
+    bias = config.vector_bias_length * normal
+
+    is_dielectric = (mat_k == 0.0) | transparent
+    f_d = fresnel_dielectric(normal, d, n_in, n_out, refraction_dir)
+    f_c = fresnel_conductor(normal, d, mat_n, mat_k)
+    fresnel_r = jnp.where(is_dielectric, f_d, f_c)
+
+    lobe_reflect = surf & (uniforms[:, 3] < fresnel_r)
+    lobe_refract = surf & ~lobe_reflect & transparent
+    lobe_diffuse = surf & ~lobe_reflect & ~transparent
+
+    # GGX microfacet reflection (:565-584)
+    alpha = remap_roughness(mats.roughness[mat_id])
+    micro_normal = ggx_half_vector(normal, alpha, uniforms[:, 4], uniforms[:, 5])
+    micro_reflection = reflect(micro_normal, d)
+    g = ggx_smith_g1(alpha, normal, micro_normal, d) * ggx_smith_g1(
+        alpha, normal, micro_normal, micro_reflection
+    )
+
+    # cosine-weighted diffuse (:597-610)
+    diffuse_dir = cosine_hemisphere(normal, uniforms[:, 4], uniforms[:, 5])
+
+    # ---- compose the next state
+    factor = jnp.where(
+        lobe_reflect[:, None], specular_color * g[:, None],
+        jnp.where(
+            lobe_refract[:, None],
+            jnp.square(n_out / n_in)[:, None] * jnp.ones((p, 3), jnp.float32),
+            jnp.where(lobe_diffuse[:, None], diffuse_color, 1.0),
+        ),
+    )
+    new_thr = thr * factor
+
+    bg = background_color(
+        scene.env_faces, d, config.use_sky_box, config.use_sky,
+        config.use_bilinear, scene.has_env_map,
+    )
+    emitted = jnp.where(lobe_diffuse[:, None], thr * mats.emission[mat_id], 0.0)
+    escaped = jnp.where(miss[:, None], thr * bg, 0.0)
+    new_radiance = state.radiance + emitted + escaped
+
+    new_origin = jnp.where(
+        scatter[:, None], scatter_origin,
+        jnp.where(
+            lobe_refract[:, None], hit_point - bias,
+            jnp.where(surf[:, None], hit_point + bias, o),
+        ),
+    )
+    new_dir = jnp.where(
+        scatter[:, None], scatter_dir,
+        jnp.where(
+            lobe_reflect[:, None], micro_reflection,
+            jnp.where(
+                lobe_refract[:, None], refraction_dir,
+                jnp.where(lobe_diffuse[:, None], diffuse_dir, d),
+            ),
+        ),
+    )
+
+    new_abs = jnp.where(lobe_refract[:, None], out_absorption, state.med_absorption)
+    new_rs = jnp.where(lobe_refract[:, None], out_scattering, state.med_scattering)
+
+    # biased low-energy kill (:480, :612-616) + miss kill (:622-623)
+    new_active = state.active & ~miss & (length(new_thr) > config.energy_exist_threshold)
+
+    return RayState(
+        origin=jnp.where(state.active[:, None], new_origin, o),
+        direction=jnp.where(state.active[:, None], new_dir, d),
+        throughput=jnp.where(state.active[:, None], new_thr, state.throughput),
+        radiance=jnp.where(state.active[:, None], new_radiance, state.radiance),
+        active=new_active,
+        med_absorption=jnp.where(state.active[:, None], new_abs, state.med_absorption),
+        med_scattering=jnp.where(state.active[:, None], new_rs, state.med_scattering),
+    )
+
+
+# --------------------------------------------------------------------------
+# full pass
+# --------------------------------------------------------------------------
+
+
+def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
+                   key, pixel_ids: Array = None, *,
+                   differentiable: bool = False) -> Array:
+    """Trace one sample per pixel; returns (P, 3) radiance for this pass.
+
+    `key` should already be folded with the pass index (ops.rng.pass_key).
+    `pixel_ids` (default: all pixels) selects which global pixels this call
+    traces — the sharded path passes each chip's slice, and because all RNG is
+    keyed on the global pixel id the result is identical however the wavefront
+    is split.  With differentiable=True the bounce loop is a fixed-depth
+    lax.scan (reverse-mode safe); otherwise a while_loop that stops as soon as
+    every lane is dead, like the reference's host-side break (:740-743).
+    """
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+    ray_u = rng.raygen_uniforms(key, pixel_ids)
+    origin, direction = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
+    state = _initial_state(origin, direction, config)
+
+    if differentiable:
+        def scan_body(s, depth):
+            u = rng.bounce_uniforms(key, depth, pixel_ids)
+            return bounce_step(s, scene, config, u), None
+
+        state, _ = jax.lax.scan(
+            scan_body, state, jnp.arange(config.max_tracer_depth)
+        )
+    else:
+        def cond(carry):
+            depth, s = carry
+            return (depth < config.max_tracer_depth) & jnp.any(s.active)
+
+        def body(carry):
+            depth, s = carry
+            u = rng.bounce_uniforms(key, depth, pixel_ids)
+            return depth + 1, bounce_step(s, scene, config, u)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+
+    return state.radiance
+
+
+@functools.partial(jax.jit, static_argnames=("config", "differentiable"))
+def render_pass(scene: SceneData, camera: RenderCamera, config: RenderConfig,
+                accum_image: Array, pass_index, base_key,
+                differentiable: bool = False) -> Array:
+    """One progressive pass: trace + accumulate (reference render loop body,
+    Core/path_tracer.cpp:40-99 + tone-map kernel).  Returns the new (P, 3)
+    accumulation image; display conversion is ops.tonemap.to_uint8."""
+    from pathtracerwithcuda_tpu.ops.tonemap import accumulate
+
+    radiance = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    for s in range(config.spp_per_pass):
+        key = rng.pass_key(base_key, pass_index * config.spp_per_pass + s)
+        radiance = radiance + trace_radiance(
+            scene, camera, config, key, differentiable=differentiable
+        )
+    radiance = radiance / config.spp_per_pass
+    return accumulate(accum_image, radiance, config.max_tracer_depth)

@@ -1,0 +1,177 @@
+"""Host scene assembly → device SceneData.
+
+Mirrors the reference's scene → device pipeline
+(Core/scene_parser.cpp:465-528 + Core/triangle_mesh.cpp:498-655):
+
+  * mesh Rotate is baked into object-space vertices at load
+    (Core/triangle_mesh.cpp:147-166, glm order Rz·Ry·Rx);
+  * Position/Scale are applied when producing device triangles
+    (Core/triangle_mesh.cpp:615-647), normals via inverse-transpose;
+  * per-group materials, extra groups get the last material
+    (Core/triangle_mesh.cpp:178,614);
+  * per-mesh BVH build, then all BVHs concatenated into one skip chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracerwithcuda_tpu.bvh.build_sah import build_sah_bvh
+from pathtracerwithcuda_tpu.bvh.flatten import FlatBVH, concatenate_bvhs
+from pathtracerwithcuda_tpu.config import RenderConfig
+from pathtracerwithcuda_tpu.core.types import MaterialTable, SceneData, TextureAtlas
+
+# meshes with at most this many triangles skip the BVH and use the dense
+# all-pairs intersector (cheaper than a walk at this size)
+BRUTE_FORCE_MAX_TRIS = 64
+
+
+def rotation_matrix_zyx(rotate_deg) -> np.ndarray:
+    """R = Rz · Ry · Rx, matching the reference's glm::rotate chain
+    (Core/triangle_mesh.cpp:147-166)."""
+    rx, ry, rz = [math.radians(float(a)) for a in rotate_deg]
+    cx, sx = math.cos(rx), math.sin(rx)
+    cy, sy = math.cos(ry), math.sin(ry)
+    cz, sz = math.cos(rz), math.sin(rz)
+    mx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float64)
+    my = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+    mz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float64)
+    return (mz @ my @ mx).astype(np.float32)
+
+
+@dataclasses.dataclass
+class HostMesh:
+    """One OBJ mesh instance: object-space triangles (rotation already baked)
+    + per-triangle material index into the global material list."""
+
+    vertices: np.ndarray  # (T, 3, 3)
+    normals: np.ndarray  # (T, 3, 3)
+    uvs: np.ndarray  # (T, 3, 2)
+    material_ids: np.ndarray  # (T,) int32 global material ids
+    position: np.ndarray  # (3,)
+    scale: np.ndarray  # (3,)
+    rotate: np.ndarray  # (3,) degrees — already baked; kept for UI parity
+
+    @staticmethod
+    def from_shapes(shapes, shape_material_ids, position, scale, rotate) -> "HostMesh":
+        """shapes: list[ObjShape]; shape_material_ids: per-shape global ids
+        (shorter lists are extended with the last id, reference behavior)."""
+        vs, ns, us, ms = [], [], [], []
+        for i, shp in enumerate(shapes):
+            mid = shape_material_ids[min(i, len(shape_material_ids) - 1)]
+            vs.append(shp.vertices)
+            ns.append(shp.normals)
+            us.append(shp.uvs)
+            ms.append(np.full(shp.num_triangles, mid, np.int32))
+        rot = rotation_matrix_zyx(rotate)
+        inv_t = np.linalg.inv(rot).T
+        v = np.concatenate(vs, axis=0) @ rot.T
+        n = np.concatenate(ns, axis=0) @ inv_t.T
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        return HostMesh(
+            vertices=v.astype(np.float32),
+            normals=n.astype(np.float32),
+            uvs=np.concatenate(us, axis=0).astype(np.float32),
+            material_ids=np.concatenate(ms, axis=0),
+            position=np.asarray(position, np.float32),
+            scale=np.asarray(scale, np.float32),
+            rotate=np.asarray(rotate, np.float32),
+        )
+
+    def world_triangles(self):
+        """Apply Position/Scale (Core/triangle_mesh.cpp:615-647)."""
+        v = self.vertices * self.scale[None, None, :] + self.position[None, None, :]
+        n = self.normals / np.maximum(self.scale[None, None, :], 1e-20)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        return v.astype(np.float32), n.astype(np.float32)
+
+
+@dataclasses.dataclass
+class HostScene:
+    """Everything the parser produced, still host-side/editable."""
+
+    materials: "list[dict]"
+    sphere_centers: np.ndarray  # (S, 3)
+    sphere_radii: np.ndarray  # (S,)
+    sphere_material_ids: np.ndarray  # (S,) int32
+    meshes: "list[HostMesh]"
+    textures: "list[np.ndarray]"  # (H, W, 3) f32 each
+    env_faces: Optional[np.ndarray]  # (6, L, L, 3) f32 or None
+    name: str = ""
+
+    @staticmethod
+    def empty() -> "HostScene":
+        return HostScene(
+            materials=[],
+            sphere_centers=np.zeros((0, 3), np.float32),
+            sphere_radii=np.zeros((0,), np.float32),
+            sphere_material_ids=np.zeros((0,), np.int32),
+            meshes=[],
+            textures=[],
+            env_faces=None,
+        )
+
+
+def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
+    """Assemble device arrays + BVH (reference create_scene_data_device)."""
+    # triangles: concatenate all meshes in world space
+    tri_v = np.zeros((0, 3, 3), np.float32)
+    tri_n = np.zeros((0, 3, 3), np.float32)
+    tri_uv = np.zeros((0, 3, 2), np.float32)
+    tri_mat = np.zeros((0,), np.int32)
+    bvhs: list = []
+    tri_offsets: list = []
+    cursor = 0
+    for mesh in host.meshes:
+        v, n = mesh.world_triangles()
+        tri_v = np.concatenate([tri_v, v], axis=0)
+        tri_n = np.concatenate([tri_n, n], axis=0)
+        tri_uv = np.concatenate([tri_uv, mesh.uvs], axis=0)
+        tri_mat = np.concatenate([tri_mat, mesh.material_ids], axis=0)
+        tri_offsets.append(cursor)
+        cursor += v.shape[0]
+        bvhs.append(
+            build_sah_bvh(
+                v[:, 0], v[:, 1], v[:, 2],
+                leaf_size=max(1, config.bvh_leaf_node_triangle_num),
+                num_buckets=config.bvh_bucket_max_divide_internal_num,
+            )
+        )
+
+    total_tris = tri_v.shape[0]
+    if total_tris <= BRUTE_FORCE_MAX_TRIS:
+        flat = FlatBVH.empty()  # 0/1-node bvh → wavefront picks brute force
+    else:
+        flat = concatenate_bvhs(bvhs, tri_offsets)
+
+    env = host.env_faces
+    if env is None:
+        env = np.zeros((6, 1, 1, 3), np.float32)
+
+    return SceneData(
+        sphere_center=jnp.asarray(host.sphere_centers.reshape(-1, 3)),
+        sphere_radius=jnp.asarray(host.sphere_radii.reshape(-1)),
+        sphere_material=jnp.asarray(host.sphere_material_ids.reshape(-1)),
+        tri_v0=jnp.asarray(tri_v[:, 0]),
+        tri_v1=jnp.asarray(tri_v[:, 1]),
+        tri_v2=jnp.asarray(tri_v[:, 2]),
+        tri_n0=jnp.asarray(tri_n[:, 0]),
+        tri_n1=jnp.asarray(tri_n[:, 1]),
+        tri_n2=jnp.asarray(tri_n[:, 2]),
+        tri_uv0=jnp.asarray(tri_uv[:, 0]),
+        tri_uv1=jnp.asarray(tri_uv[:, 1]),
+        tri_uv2=jnp.asarray(tri_uv[:, 2]),
+        tri_material=jnp.asarray(tri_mat),
+        bvh_min=jnp.asarray(flat.node_min),
+        bvh_max=jnp.asarray(flat.node_max),
+        bvh_next=jnp.asarray(flat.next_index),
+        bvh_tri=jnp.asarray(flat.tri_slots),
+        materials=MaterialTable.from_rows(host.materials),
+        textures=TextureAtlas.pack(host.textures),
+        env_faces=jnp.asarray(env),
+    )
