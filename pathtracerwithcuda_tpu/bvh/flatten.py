@@ -50,6 +50,42 @@ class FlatBVH:
         )
 
 
+def permute_leaf_contiguous(bvh: FlatBVH):
+    """Reorder triangles so each leaf's triangles are one contiguous run.
+
+    Returns (bvh', permutation) where permutation[i] = original index of the
+    triangle now stored at position i, and bvh'.tri_slots hold the new
+    (consecutive) indices.  This is the device-layout trick the reference's
+    packed stride-K leaf table approximates (Bvh/bvh.cpp:282-301); with a
+    contiguous run a leaf fetch becomes a single dynamic slice — exactly what
+    the Pallas packet kernel needs.
+    """
+    perm = []
+    new_slots = -np.ones_like(bvh.tri_slots)
+    for i in range(bvh.num_nodes):
+        ids = bvh.tri_slots[i]
+        ids = ids[ids >= 0]
+        if len(ids) == 0:
+            continue
+        start = len(perm)
+        perm.extend(ids.tolist())
+        new_slots[i, : len(ids)] = np.arange(start, start + len(ids))
+    out = FlatBVH(
+        node_min=bvh.node_min,
+        node_max=bvh.node_max,
+        next_index=bvh.next_index,
+        tri_slots=new_slots.astype(np.int32),
+    )
+    return out, np.asarray(perm, np.int64)
+
+
+def leaf_runs(tri_slots: np.ndarray):
+    """(start, count) per node from contiguous tri_slots; start = -1 internal."""
+    count = (tri_slots >= 0).sum(axis=1).astype(np.int32)
+    start = np.where(count > 0, tri_slots[:, 0], -1).astype(np.int32)
+    return start, count
+
+
 def concatenate_bvhs(bvhs: "list[FlatBVH]", tri_offsets: "list[int]") -> FlatBVH:
     """Concatenate per-mesh BVHs into one skip chain.
 

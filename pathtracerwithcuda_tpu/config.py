@@ -64,10 +64,16 @@ class RenderConfig:
     use_anti_alias: bool = True
     fov: float = 45.0
 
-    # BVH build
-    bvh_leaf_node_triangle_num: int = 1
+    # BVH build (reference default leaf=1, config.json:17; 4 amortizes the
+    # packet kernel's leaf fetch better on TPU — the parser honors whatever
+    # the config file says)
+    bvh_leaf_node_triangle_num: int = 4
     bvh_bucket_max_divide_internal_num: int = 12
     bvh_build: BvhBuildMethod = BvhBuildMethod.SAH
+
+    # use the Pallas packet-traversal kernel on TPU when the scene tables
+    # fit VMEM (ops/traversal_pallas.py); XLA while-loop walk otherwise
+    use_pallas: bool = True
 
     # participating medium the camera starts in ("air")
     air_refraction_index: float = 1.000293

@@ -155,11 +155,15 @@ class SceneData:
     tri_uv2: Array
     tri_material: Array  # (T,) int32
 
-    # flattened skip-link BVH over all meshes
+    # flattened skip-link BVH over all meshes; triangles are stored in
+    # leaf-contiguous order (bvh.flatten.permute_leaf_contiguous), so a
+    # leaf's triangles are the run [bvh_tri_start, bvh_tri_start + count)
     bvh_min: Array  # (N, 3)
     bvh_max: Array  # (N, 3)
     bvh_next: Array  # (N,) int32  skip link
     bvh_tri: Array  # (N, K) int32  leaf triangle slots, -1 padded
+    bvh_tri_start: Array  # (N,) int32  first triangle of leaf run, -1 internal
+    bvh_tri_count: Array  # (N,) int32  run length (0 for internal nodes)
 
     materials: MaterialTable
     textures: TextureAtlas

@@ -115,6 +115,21 @@ def _traverse_chunked(origin, direction, scene: SceneData, bound, chunk_size: in
     )
 
 
+_PALLAS_VMEM_BUDGET = 12 * 2**20  # leave headroom in ~16 MB VMEM
+
+
+def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
+    """Static (trace-time) choice of the Pallas packet kernel."""
+    if not config.use_pallas or jax.default_backend() != "tpu":
+        return False
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import vmem_table_bytes
+
+    return (
+        vmem_table_bytes(scene.num_bvh_nodes, scene.num_triangles, scene.leaf_size)
+        < _PALLAS_VMEM_BUDGET
+    )
+
+
 def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig):
     """Closest sphere-or-triangle hit per ray.
 
@@ -134,10 +149,22 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig):
 
     if scene.num_triangles > 0:
         if scene.num_bvh_nodes > 1:
-            tri_idx, _ = _traverse_chunked(
-                origin, direction, scene, jax.lax.stop_gradient(sph_t),
-                config.chunk_size,
-            )
+            if _use_packet_kernel(scene, config):
+                from pathtracerwithcuda_tpu.ops.traversal_pallas import (
+                    traverse_bvh_packets,
+                )
+
+                tri_idx, _ = traverse_bvh_packets(
+                    origin, direction, scene.bvh_min, scene.bvh_max,
+                    scene.bvh_next, scene.bvh_tri_start, scene.bvh_tri_count,
+                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                    jax.lax.stop_gradient(sph_t), leaf_k=scene.leaf_size,
+                )
+            else:
+                tri_idx, _ = _traverse_chunked(
+                    origin, direction, scene, jax.lax.stop_gradient(sph_t),
+                    config.chunk_size,
+                )
         else:
             tri_idx, _ = brute_force_nearest_triangle(
                 jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction),

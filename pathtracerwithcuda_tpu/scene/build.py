@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pathtracerwithcuda_tpu.bvh.build_sah import build_sah_bvh
-from pathtracerwithcuda_tpu.bvh.flatten import FlatBVH, concatenate_bvhs
+from pathtracerwithcuda_tpu.bvh.flatten import (
+    FlatBVH,
+    concatenate_bvhs,
+    leaf_runs,
+    permute_leaf_contiguous,
+)
 from pathtracerwithcuda_tpu.config import RenderConfig
 from pathtracerwithcuda_tpu.core.types import MaterialTable, SceneData, TextureAtlas
 
@@ -129,25 +134,27 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
     cursor = 0
     for mesh in host.meshes:
         v, n = mesh.world_triangles()
-        tri_v = np.concatenate([tri_v, v], axis=0)
-        tri_n = np.concatenate([tri_n, n], axis=0)
-        tri_uv = np.concatenate([tri_uv, mesh.uvs], axis=0)
-        tri_mat = np.concatenate([tri_mat, mesh.material_ids], axis=0)
+        bvh = build_sah_bvh(
+            v[:, 0], v[:, 1], v[:, 2],
+            leaf_size=max(1, config.bvh_leaf_node_triangle_num),
+            num_buckets=config.bvh_bucket_max_divide_internal_num,
+        )
+        # leaf-contiguous triangle order (see permute_leaf_contiguous)
+        bvh, perm = permute_leaf_contiguous(bvh)
+        tri_v = np.concatenate([tri_v, v[perm]], axis=0)
+        tri_n = np.concatenate([tri_n, n[perm]], axis=0)
+        tri_uv = np.concatenate([tri_uv, mesh.uvs[perm]], axis=0)
+        tri_mat = np.concatenate([tri_mat, mesh.material_ids[perm]], axis=0)
         tri_offsets.append(cursor)
         cursor += v.shape[0]
-        bvhs.append(
-            build_sah_bvh(
-                v[:, 0], v[:, 1], v[:, 2],
-                leaf_size=max(1, config.bvh_leaf_node_triangle_num),
-                num_buckets=config.bvh_bucket_max_divide_internal_num,
-            )
-        )
+        bvhs.append(bvh)
 
     total_tris = tri_v.shape[0]
     if total_tris <= BRUTE_FORCE_MAX_TRIS:
         flat = FlatBVH.empty()  # 0/1-node bvh → wavefront picks brute force
     else:
         flat = concatenate_bvhs(bvhs, tri_offsets)
+    run_start, run_count = leaf_runs(flat.tri_slots)
 
     env = host.env_faces
     if env is None:
@@ -171,6 +178,8 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
         bvh_max=jnp.asarray(flat.node_max),
         bvh_next=jnp.asarray(flat.next_index),
         bvh_tri=jnp.asarray(flat.tri_slots),
+        bvh_tri_start=jnp.asarray(run_start),
+        bvh_tri_count=jnp.asarray(run_count),
         materials=MaterialTable.from_rows(host.materials),
         textures=TextureAtlas.pack(host.textures),
         env_faces=jnp.asarray(env),
