@@ -122,6 +122,23 @@ class HostScene:
         )
 
 
+def _build_mesh_bvh(v: np.ndarray, leaf_size: int, num_buckets: int):
+    """SAH build + leaf-contiguous permutation; C++ fast path when built."""
+    try:
+        from pathtracerwithcuda_tpu.native import native_available, native_build_sah
+
+        if native_available():
+            return native_build_sah(v[:, 0], v[:, 1], v[:, 2],
+                                    leaf_size=leaf_size, num_buckets=num_buckets)
+    except Exception as e:  # pragma: no cover — toolchain-dependent
+        import logging
+
+        logging.getLogger(__name__).warning("native BVH build failed (%s)", e)
+    bvh = build_sah_bvh(v[:, 0], v[:, 1], v[:, 2], leaf_size=leaf_size,
+                        num_buckets=num_buckets)
+    return permute_leaf_contiguous(bvh)
+
+
 def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
     """Assemble device arrays + BVH (reference create_scene_data_device)."""
     # triangles: concatenate all meshes in world space
@@ -134,13 +151,11 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
     cursor = 0
     for mesh in host.meshes:
         v, n = mesh.world_triangles()
-        bvh = build_sah_bvh(
-            v[:, 0], v[:, 1], v[:, 2],
+        bvh, perm = _build_mesh_bvh(
+            v,
             leaf_size=max(1, config.bvh_leaf_node_triangle_num),
             num_buckets=config.bvh_bucket_max_divide_internal_num,
         )
-        # leaf-contiguous triangle order (see permute_leaf_contiguous)
-        bvh, perm = permute_leaf_contiguous(bvh)
         tri_v = np.concatenate([tri_v, v[perm]], axis=0)
         tri_n = np.concatenate([tri_n, n[perm]], axis=0)
         tri_uv = np.concatenate([tri_uv, mesh.uvs[perm]], axis=0)
