@@ -6,21 +6,23 @@ at HBM random-access latency (~1 element/cycle — measured ~6 ms/step for a
 130k-ray wavefront).  Instead this kernel walks the skip-link BVH with ONE
 shared preorder cursor per 128-ray packet:
 
-  * node fetch = a single dynamic slice of a VMEM-resident (8, N) node
-    table — no gathers;
+  * node fetch = dynamic index on the *untiled* leading axis of a
+    VMEM-resident (tiles, 8, 128) node table (Mosaic forbids dynamic lane
+    slicing), then a one-hot lane reduction extracts the node column —
+    all vector ops, no gathers;
   * the AABB slab test runs as (3, 128) row-broadcast vector ops on the VPU
     against the whole packet at once;
   * the packet descends when ANY lane hits (speculative for the others —
     identical results, only the visit set is a superset);
   * leaf triangles are stored contiguously (bvh.flatten.permute_leaf_contiguous)
-    so a leaf is one (16, K) dynamic slice, then K broadcast Möller–Trumbore
-    tests across the packet.
+    and fetched the same tile + one-hot way, then tested with broadcast
+    Möller–Trumbore against the packet.
 
 Packets are pixel tiles, so primary and low-bounce rays are coherent and the
 per-packet visit union stays near the per-ray optimum.  The scene tables
-(nodes + triangles) must fit VMEM (~16 MB): roughly N*32 + T*64 bytes —
-~500k triangles with leaf_size 4.  The wavefront falls back to the XLA walk
-when they don't, or when running on CPU, or under reverse-mode AD.
+(nodes + triangles) must fit VMEM (~16 MB): roughly N*64 + T*64 bytes.
+The wavefront falls back to the XLA walk when they don't, on CPU, or for
+scenes without a BVH.
 
 Same results contract as ops.traversal.traverse_bvh: closest triangle
 strictly beating min_t0, (tri_index, t), -1/inf on miss.
@@ -32,7 +34,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,24 +45,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _extract_column(tile, lane):
+    """(R, 128) tile, scalar lane -> (R, 1) column via one-hot reduction."""
+    rows = tile.shape[0]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1) == lane
+    return jnp.sum(jnp.where(onehot, tile, 0), axis=1, keepdims=True)
+
+
 def _kernel(ray_ref, dir_ref, nbox_ref, nmeta_ref, tri_ref, out_t_ref,
             out_tri_ref, *, num_nodes: int, leaf_k: int):
     """One grid step = one 128-ray packet.
 
-    ray_ref  (8, 128): rows 0-2 origin xyz, 3-5 inverse direction xyz,
-                       row 6 seed min_t.
-    dir_ref  (8, 128): rows 0-2 direction xyz.
-    nbox_ref (8, Npad) f32: rows 0-2 AABB min, 3-5 AABB max.
-    nmeta_ref(8, Npad) i32: row 0 skip link, row 1 leaf run start,
-                       row 2 leaf run count.
-    tri_ref  (16, Tpad) f32: rows 0-8 = v0.xyz v1.xyz v2.xyz.
+    ray_ref  (1, 8, 128): rows 0-2 origin xyz, 3-5 inverse direction xyz,
+                          row 6 seed min_t.
+    dir_ref  (1, 8, 128): rows 0-2 direction xyz.
+    nbox_ref (NT, 8, 128) f32: [t, q, l] = AABB field q of node t*128+l
+                          (q: 0-2 min, 3-5 max).
+    nmeta_ref(NT, 8, 128) i32: q=0 skip link, q=1 leaf run start,
+                          q=2 leaf run count.
+    tri_ref  (TT, 16, 128) f32: q=0-8 -> v0.xyz v1.xyz v2.xyz.
     """
-    # ray/dir blocks arrive as (1, 8, 128)
     o = ray_ref[0, 0:3, :]
     inv_d = ray_ref[0, 3:6, :]
     d = dir_ref[0, 0:3, :]
     best_t0 = ray_ref[0, 6:7, :]
     best_tri0 = jnp.full((1, LANES), -1, jnp.int32)
+
+    dx, dy, dz = d[0:1, :], d[1:2, :], d[2:3, :]
+    ox, oy, oz = o[0:1, :], o[1:2, :], o[2:3, :]
 
     def cond(carry):
         pos, _, _ = carry
@@ -69,9 +80,10 @@ def _kernel(ray_ref, dir_ref, nbox_ref, nmeta_ref, tri_ref, out_t_ref,
 
     def body(carry):
         pos, best_t, best_tri = carry
+        lane = jax.lax.rem(pos, LANES)
 
-        box = nbox_ref[:, pl.ds(pos, 1)]  # (8, 1)
-        meta = nmeta_ref[:, pl.ds(pos, 1)]  # (8, 1)
+        box = _extract_column(nbox_ref[pos // LANES], lane)  # (8, 1) f32
+        meta = _extract_column(nmeta_ref[pos // LANES], lane)  # (8, 1) i32
 
         t_lo = (box[0:3, :] - o) * inv_d  # (3, 128)
         t_hi = (box[3:6, :] - o) * inv_d
@@ -80,31 +92,31 @@ def _kernel(ray_ref, dir_ref, nbox_ref, nmeta_ref, tri_ref, out_t_ref,
         lane_hit = (near <= far) & (far > 0.0) & (near <= best_t)  # (1, 128)
         any_hit = jnp.any(lane_hit)
 
-        nxt = meta[0, 0]
-        start = meta[1, 0]
-        count = meta[2, 0]
+        nxt = jnp.sum(meta[0:1, :])  # scalars for control flow
+        start = jnp.sum(meta[1:2, :])
+        count = jnp.sum(meta[2:3, :])
 
         def leaf(args):
             best_t, best_tri = args
-            safe_start = jnp.maximum(start, 0)
-            slab = tri_ref[:, pl.ds(safe_start, leaf_k)]  # (16, K)
             for k in range(leaf_k):
-                v0x, v0y, v0z = slab[0, k], slab[1, k], slab[2, k]
-                v1x, v1y, v1z = slab[3, k], slab[4, k], slab[5, k]
-                v2x, v2y, v2z = slab[6, k], slab[7, k], slab[8, k]
+                ti = jnp.maximum(start, 0) + k
+                col = _extract_column(tri_ref[ti // LANES], jax.lax.rem(ti, LANES))
+                # triangle fields as (1,1) broadcastables — no scalar moves
+                v0x, v0y, v0z = col[0:1, :], col[1:2, :], col[2:3, :]
+                v1x, v1y, v1z = col[3:4, :], col[4:5, :], col[5:6, :]
+                v2x, v2y, v2z = col[6:7, :], col[7:8, :], col[8:9, :]
                 e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
                 e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-                dx, dy, dz = d[0:1, :], d[1:2, :], d[2:3, :]
-                # p = d × e2 (per-lane vector × scalar triangle edge)
+                # p = d × e2 (per-lane vector × triangle edge)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 det_ok = det != 0.0
                 inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                tx = o[0:1, :] - v0x
-                ty = o[1:2, :] - v0y
-                tz = o[2:3, :] - v0z
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
                 # q = t × e1
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
@@ -135,7 +147,7 @@ def _kernel(ray_ref, dir_ref, nbox_ref, nmeta_ref, tri_ref, out_t_ref,
 
 def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
                       bvh_tri_count, tri_v0, tri_v1, tri_v2, leaf_k: int):
-    """Device-side packing into the kernel's VMEM-friendly layouts."""
+    """Device-side packing into the kernel's VMEM layouts (see _kernel doc)."""
     n = bvh_min.shape[0]
     t = tri_v0.shape[0]
     n_pad = _round_up(max(n, 1), LANES)
@@ -144,16 +156,19 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
     nbox = jnp.zeros((8, n_pad), jnp.float32)
     nbox = nbox.at[0:3, :n].set(bvh_min.T)
     nbox = nbox.at[3:6, :n].set(bvh_max.T)
+    nbox = nbox.reshape(8, n_pad // LANES, LANES).transpose(1, 0, 2)
 
     nmeta = jnp.zeros((8, n_pad), jnp.int32)
     nmeta = nmeta.at[0, :n].set(bvh_next)
     nmeta = nmeta.at[1, :n].set(bvh_tri_start)
     nmeta = nmeta.at[2, :n].set(bvh_tri_count)
+    nmeta = nmeta.reshape(8, n_pad // LANES, LANES).transpose(1, 0, 2)
 
     tris = jnp.zeros((16, t_pad), jnp.float32)
     tris = tris.at[0:3, :t].set(tri_v0.T)
     tris = tris.at[3:6, :t].set(tri_v1.T)
     tris = tris.at[6:9, :t].set(tri_v2.T)
+    tris = tris.reshape(16, t_pad // LANES, LANES).transpose(1, 0, 2)
     return nbox, nmeta, tris
 
 
@@ -176,9 +191,9 @@ def _run(rays, dirs, nbox, nmeta, tris, num_nodes: int, leaf_k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(nbox.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(nmeta.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(nmeta.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),

@@ -33,20 +33,23 @@ def _replicated(tree):
 
 
 def distributed_trace(scene: SceneData, camera: RenderCamera, config: RenderConfig,
-                      key, mesh: Mesh, *, differentiable: bool = False):
+                      key, mesh: Mesh, pixel_ids=None, *,
+                      differentiable: bool = False):
     """(P, 3) radiance for one pass, traced over the mesh.
 
-    Pixels shard over RAY_AXIS.  If the mesh has a SAMPLE_AXIS, each chip
-    along it traces a different sample (key folded with the sample index) and
-    the results are averaged with a psum — the output stays one sample-pass
-    worth of radiance, at 1/s the variance.
+    Pixels shard over RAY_AXIS (each chip receives a contiguous slice of
+    `pixel_ids`; output row i is pixel_ids[i]'s radiance).  If the mesh has a
+    SAMPLE_AXIS, each chip along it traces a different sample (key folded
+    with the sample index) and the results are averaged with a psum — the
+    output stays one sample-pass worth of radiance, at 1/s the variance.
     """
     p = config.pixel_count
     n_ray = mesh.shape[RAY_AXIS]
     if p % n_ray:
         raise ValueError(f"pixel count {p} not divisible by ray-axis size {n_ray}")
     has_spp = SAMPLE_AXIS in mesh.shape
-    pixel_ids = jnp.arange(p, dtype=jnp.int32)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(p, dtype=jnp.int32)
 
     spec_pixels = P(RAY_AXIS)
 
@@ -76,12 +79,19 @@ def distributed_render_pass(scene: SceneData, camera: RenderCamera,
                             base_key, mesh: Mesh,
                             differentiable: bool = False):
     """Sharded analog of render.wavefront.render_pass: one progressive pass,
-    returning the new (P, 3) accumulation (sharded over RAY_AXIS)."""
+    returning the new (P, 3) accumulation (sharded over RAY_AXIS, laid out in
+    packet render order like the single-chip path — each chip owns a
+    contiguous band of screen tiles)."""
+    from pathtracerwithcuda_tpu.render.wavefront import render_order
+
+    order, _ = render_order(config.width, config.height)
+    pixel_ids = jnp.asarray(order)
     radiance = jnp.zeros((config.pixel_count, 3), jnp.float32)
     for s in range(config.spp_per_pass):
         key = rng.pass_key(base_key, pass_index * config.spp_per_pass + s)
         radiance = radiance + distributed_trace(
-            scene, camera, config, key, mesh, differentiable=differentiable
+            scene, camera, config, key, mesh, pixel_ids,
+            differentiable=differentiable,
         )
     radiance = radiance / config.spp_per_pass
     return accumulate(accum_image, radiance, config.max_tracer_depth)

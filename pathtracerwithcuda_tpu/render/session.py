@@ -70,9 +70,13 @@ class RenderSession:
 
     # ------------------------------------------------------------------
     def image_u8(self) -> np.ndarray:
-        """(H, W, 3) uint8 display image."""
+        """(H, W, 3) uint8 display image (accumulation is kept in packet
+        render order; invert to scanline order here)."""
+        from pathtracerwithcuda_tpu.render.wavefront import render_order
+
         u8 = to_uint8(self.accum, self.pass_counter, self.config.gamma_correction)
-        return np.asarray(u8).reshape(self.config.height, self.config.width, 3)
+        _, inv = render_order(self.config.width, self.config.height)
+        return np.asarray(u8)[inv].reshape(self.config.height, self.config.width, 3)
 
     def screenshot(self, directory: str = ".") -> str:
         import os

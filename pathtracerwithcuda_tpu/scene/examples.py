@@ -153,6 +153,7 @@ def flagship_config(width=1920, height=1080, **kw) -> RenderConfig:
     defaults = dict(
         width=width, height=height, max_tracer_depth=8,
         use_sky_box=True, use_sky=False, spp_per_pass=1,
+        bvh_leaf_node_triangle_num=8,  # fewer packet steps (measured +20%)
     )
     defaults.update(kw)
     return RenderConfig(**defaults)
