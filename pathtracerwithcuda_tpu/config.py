@@ -85,6 +85,11 @@ class RenderConfig:
     spp_per_pass: int = 1
     # max traversal iterations per while loop; 0 = 2 * node_count (safe bound)
     max_traversal_steps: int = 0
+    # bounce-loop composition: "while" (early-exit lax.while_loop),
+    # "scan" (fixed depth, reverse-AD safe), "unroll" (python-unrolled),
+    # "host" (one dispatch per bounce with host-side early exit — smallest
+    # compile units, used where giant loop-wrapped programs compile poorly)
+    loop_mode: str = "while"
 
     @property
     def pixel_count(self) -> int:

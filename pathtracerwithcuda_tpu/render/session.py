@@ -50,14 +50,22 @@ class RenderSession:
         """Advance one progressive pass (reference render(),
         Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate)."""
         t0 = time.monotonic()
-        self.accum = render_pass(
-            self.scene,
-            self.camera.get_render_camera(),
-            self.config,
-            self.accum,
-            self.pass_counter,
-            self.base_key,
-        )
+        if self.config.loop_mode == "host":
+            from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
+
+            self.accum = render_pass_host(
+                self.scene, self.camera.get_render_camera(), self.config,
+                self.accum, self.pass_counter, self.base_key,
+            )
+        else:
+            self.accum = render_pass(
+                self.scene,
+                self.camera.get_render_camera(),
+                self.config,
+                self.accum,
+                self.pass_counter,
+                self.base_key,
+            )
         self.accum.block_until_ready()
         self.last_frame_ms = (time.monotonic() - t0) * 1e3
         self.pass_counter += 1

@@ -444,7 +444,8 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
     origin, direction = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
     state = _initial_state(origin, direction, config)
 
-    if differentiable:
+    mode = "scan" if differentiable else config.loop_mode
+    if mode == "scan":
         def scan_body(s, depth):
             u = rng.bounce_uniforms(key, depth, pixel_ids)
             return bounce_step(s, scene, config, u), None
@@ -452,7 +453,11 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
         state, _ = jax.lax.scan(
             scan_body, state, jnp.arange(config.max_tracer_depth)
         )
-    else:
+    elif mode == "unroll":
+        for depth in range(config.max_tracer_depth):
+            u = rng.bounce_uniforms(key, depth, pixel_ids)
+            state = bounce_step(state, scene, config, u)
+    else:  # "while" (and "host" when reached inside a jit)
         def cond(carry):
             depth, s = carry
             return (depth < config.max_tracer_depth) & jnp.any(s.active)
@@ -464,6 +469,41 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
+    return state.radiance
+
+
+# ---- host-loop mode: one dispatch per stage, early exit on the host -------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _raygen_jit(camera, config: RenderConfig, key, pixel_ids):
+    ray_u = rng.raygen_uniforms(key, pixel_ids)
+    origin, direction = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
+    return _initial_state(origin, direction, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _bounce_jit(state: RayState, scene: SceneData, config: RenderConfig,
+                key, depth, pixel_ids):
+    u = rng.bounce_uniforms(key, depth, pixel_ids)
+    new_state = bounce_step(state, scene, config, u)
+    return new_state, jnp.any(new_state.active)
+
+
+def trace_radiance_host(scene: SceneData, camera: RenderCamera,
+                        config: RenderConfig, key, pixel_ids=None) -> Array:
+    """Host-driven bounce loop: each bounce is its own compiled program and
+    the all-dead early exit happens on the host.  Functionally identical to
+    loop_mode='while'; exists because loop-wrapped megaprograms can compile
+    pathologically slowly on some toolchains while the per-bounce program
+    (reused across all depths) compiles once in seconds."""
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+    state = _raygen_jit(camera, config, key, pixel_ids)
+    for depth in range(config.max_tracer_depth):
+        state, alive = _bounce_jit(state, scene, config, key, depth, pixel_ids)
+        if not bool(alive):
+            break
     return state.radiance
 
 
@@ -490,3 +530,25 @@ def render_pass(scene: SceneData, camera: RenderCamera, config: RenderConfig,
         )
     radiance = radiance / config.spp_per_pass
     return accumulate(accum_image, radiance, config.max_tracer_depth)
+
+
+def render_pass_host(scene: SceneData, camera: RenderCamera, config: RenderConfig,
+                     accum_image: Array, pass_index: int, base_key) -> Array:
+    """Host-loop analog of render_pass (loop_mode='host'); not itself jitted."""
+    from pathtracerwithcuda_tpu.ops.tonemap import accumulate
+
+    order, _ = render_order(config.width, config.height)
+    pixel_ids = jnp.asarray(order)
+    radiance = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    for s in range(config.spp_per_pass):
+        key = rng.pass_key(base_key, pass_index * config.spp_per_pass + s)
+        radiance = radiance + trace_radiance_host(scene, camera, config, key, pixel_ids)
+    radiance = radiance / config.spp_per_pass
+    return _accumulate_jit(accum_image, radiance, config.max_tracer_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tracer_depth",))
+def _accumulate_jit(accum_image, radiance, max_tracer_depth):
+    from pathtracerwithcuda_tpu.ops.tonemap import accumulate
+
+    return accumulate(accum_image, radiance, max_tracer_depth)

@@ -1,0 +1,62 @@
+"""All bounce-loop compositions must produce identical radiance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracerwithcuda_tpu.config import RenderConfig
+from pathtracerwithcuda_tpu.core.materials import builtin_materials
+from pathtracerwithcuda_tpu.core.types import RenderCamera
+from pathtracerwithcuda_tpu.ops import rng
+from pathtracerwithcuda_tpu.render.wavefront import (
+    render_pass,
+    render_pass_host,
+    trace_radiance,
+    trace_radiance_host,
+)
+from pathtracerwithcuda_tpu.scene.build import HostScene, build_scene_data
+
+
+def _setup(loop_mode="while"):
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["wall_white"], mats["light"], mats["glass"]]
+    host.sphere_centers = np.array(
+        [[0, -1001.0, 0], [0, 4.0, 0], [0.5, 0, 0]], np.float32
+    )
+    host.sphere_radii = np.array([1000.0, 1.5, 0.8], np.float32)
+    host.sphere_material_ids = np.array([0, 1, 2], np.int32)
+    config = RenderConfig(width=16, height=16, max_tracer_depth=4,
+                          use_sky_box=False, use_sky=True, loop_mode=loop_mode)
+    scene = build_scene_data(host, config)
+    cam = RenderCamera.create(
+        eye=(0, 1, 8.0), view=(0, 0, -1.0), up=(0, 1, 0),
+        width=16, height=16, fov_x_deg=45.0, focal_distance=8.0,
+    )
+    return scene, cam, config
+
+
+def test_all_modes_identical():
+    key = rng.pass_key(jax.random.PRNGKey(2), 0)
+    ref = None
+    for mode in ("while", "scan", "unroll"):
+        scene, cam, config = _setup(mode)
+        r = np.asarray(trace_radiance(scene, cam, config, key))
+        if ref is None:
+            ref = r
+        else:
+            assert np.allclose(ref, r, atol=1e-6), mode
+    scene, cam, config = _setup("host")
+    r_host = np.asarray(trace_radiance_host(scene, cam, config, key))
+    assert np.allclose(ref, r_host, atol=1e-6)
+
+
+def test_render_pass_host_matches():
+    scene, cam, config = _setup("host")
+    accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    a_host = np.asarray(render_pass_host(scene, cam, config, accum, 0, key))
+    a_jit = np.asarray(
+        render_pass(scene, cam, config.replace(loop_mode="while"), accum, 0, key)
+    )
+    assert np.allclose(a_host, a_jit, atol=1e-6)
