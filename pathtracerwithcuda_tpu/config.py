@@ -88,8 +88,16 @@ class RenderConfig:
     # bounce-loop composition: "while" (early-exit lax.while_loop),
     # "scan" (fixed depth, reverse-AD safe), "unroll" (python-unrolled),
     # "host" (one dispatch per bounce with host-side early exit — smallest
-    # compile units, used where giant loop-wrapped programs compile poorly)
-    loop_mode: str = "while"
+    # compile units, used where giant loop-wrapped programs compile poorly),
+    # "auto" (host on TPU, while elsewhere — resolved by RenderSession)
+    loop_mode: str = "auto"
+
+    def resolved_loop_mode(self) -> str:
+        if self.loop_mode != "auto":
+            return self.loop_mode
+        import jax
+
+        return "host" if jax.default_backend() == "tpu" else "while"
 
     @property
     def pixel_count(self) -> int:

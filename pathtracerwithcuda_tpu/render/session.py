@@ -50,7 +50,7 @@ class RenderSession:
         """Advance one progressive pass (reference render(),
         Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate)."""
         t0 = time.monotonic()
-        if self.config.loop_mode == "host":
+        if self.config.resolved_loop_mode() == "host":
             from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
 
             self.accum = render_pass_host(

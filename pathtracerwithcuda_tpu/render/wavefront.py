@@ -444,7 +444,11 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
     origin, direction = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
     state = _initial_state(origin, direction, config)
 
+    # "host"/"auto" resolve to the fused while-loop here — the host-driven
+    # variant is trace_radiance_host, selected by RenderSession/bench
     mode = "scan" if differentiable else config.loop_mode
+    if mode in ("host", "auto"):
+        mode = "while"
     if mode == "scan":
         def scan_body(s, depth):
             u = rng.bounce_uniforms(key, depth, pixel_ids)
