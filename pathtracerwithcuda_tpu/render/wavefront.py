@@ -116,21 +116,23 @@ def _traverse_chunked(origin, direction, scene: SceneData, bound, chunk_size: in
 
 
 _PALLAS_VMEM_BUDGET = 12 * 2**20  # leave headroom in ~16 MB VMEM
+_PALLAS_SMEM_BUDGET = 384 * 2**10  # node meta in SMEM (~512 KB usable on v5e)
 
-# packet tile geometry: 16x8 pixel blocks = one 128-lane packet
-_TILE_W, _TILE_H = 16, 8
+# packet tile geometry: 32x32 pixel blocks = one 1024-ray packet
+# (traversal_pallas.PACKET rays: 8 sublane rows x 128 lanes)
+_TILE_W, _TILE_H = 32, 32
 _ORDER_CACHE: dict = {}
 
 
 def render_order(width: int, height: int):
     """Pixel visitation order as a permutation of linear indices.
 
-    Rays are traced in 16x8-pixel-tile order so each 128-lane packet of the
-    Pallas traversal kernel covers a square screen tile instead of a 128x1
-    strip — coherent packets visit ~15% fewer BVH nodes at 1080p (measured).
-    Falls back to linear order when the image doesn't tile evenly.  The
-    accumulation buffer lives in this "render order"; display conversion
-    inverts it (render.session).
+    Rays are traced in 32x32-pixel-tile order so each 1024-ray packet of the
+    Pallas traversal kernel covers a square screen tile instead of a long
+    scanline strip — coherent packets visit far fewer BVH nodes.  Falls back
+    to linear order when the image doesn't tile evenly.  The accumulation
+    buffer lives in this "render order"; display conversion inverts it
+    (render.session).
     """
     key = (width, height)
     if key not in _ORDER_CACHE:
@@ -141,7 +143,8 @@ def render_order(width: int, height: int):
         else:
             yy, xx = np.mgrid[0:height, 0:width]
             rank = (
-                ((yy // _TILE_H) * (width // _TILE_W) + xx // _TILE_W) * 128
+                ((yy // _TILE_H) * (width // _TILE_W) + xx // _TILE_W)
+                * (_TILE_W * _TILE_H)
                 + (yy % _TILE_H) * _TILE_W + xx % _TILE_W
             )
             order = np.argsort(rank.ravel(), kind="stable").astype(np.int32)
@@ -155,11 +158,15 @@ def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
     """Static (trace-time) choice of the Pallas packet kernel."""
     if not config.use_pallas or jax.default_backend() != "tpu":
         return False
-    from pathtracerwithcuda_tpu.ops.traversal_pallas import vmem_table_bytes
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import (
+        smem_meta_bytes,
+        vmem_table_bytes,
+    )
 
     return (
         vmem_table_bytes(scene.num_bvh_nodes, scene.num_triangles, scene.leaf_size)
         < _PALLAS_VMEM_BUDGET
+        and smem_meta_bytes(scene.num_bvh_nodes) < _PALLAS_SMEM_BUDGET
     )
 
 
