@@ -1,40 +1,48 @@
-"""Pallas TPU packet-traversal kernel — the hot path.
+"""Pallas TPU packet-traversal kernels — the hot path.
 
 Why a packet design: TPU has no fast per-lane gather, so the XLA traversal
 (ops/traversal.py), which gathers each lane's own BVH node every step, runs
-at HBM random-access latency.  Instead this kernel walks the skip-link BVH
+at HBM random-access latency.  Instead these kernels walk the skip-link BVH
 (reference layout: Bvh/bvh.cpp:244-330, walk Kernel/path_tracer_kernel.cu:85-161)
-with ONE shared preorder cursor per packet of rays, testing the node's AABB
-against the whole packet with broadcast vector ops and descending when ANY
-lane hits.  Three measured-on-v5e design rules shape the kernel:
+with ONE shared preorder cursor per packet of 1024 rays, testing each node's
+AABB against the whole packet with broadcast vector ops and descending when
+ANY lane hits.  Measured-on-v5e rules that shape the design:
 
-1. **Full-height vectors.**  A (1, 128) op costs the same cycle as an
-   (8, 128) op, so a packet is 8x128 = 1024 rays laid out as one register
-   row-block per ray field; every slab/Möller–Trumbore op then runs at full
-   VPU width.  Packets are 32x32 pixel tiles (render.wavefront render_order),
-   so primary packets stay coherent; bounced rays should be compacted +
-   sorted by the caller.
+* A (1, 128) op costs the same cycle as an (8, 128) op → packets are 8x128 =
+  1024 rays (one full VPU register block per ray field).  Packets are 32x32
+  pixel tiles (render.wavefront render_order) so primary packets stay
+  coherent; bounced rays should be compacted + sorted by the caller.
+* One walk serializes on a vector→scalar `any(hit)` round trip per node
+  (~240 ns — the VPU pipeline + scalar-unit sync), so the walk kernel
+  interleaves CHAINS independent packets; their latencies overlap (~6x).
+* `lax.cond` in the loop body costs ~6x even when not taken — everything is
+  branchless selects.
+* Node metadata and the leaf lists live in SMEM: scalar loads/stores, no
+  vector↔scalar traffic.
 
-2. **Latency hiding via interleaved chains.**  A single walk serializes on
-   one vector→scalar `any(hit)` round trip per node (~240 ns on v5e — the
-   full VPU pipeline + scalar-unit sync).  The kernel interleaves CHAINS
-   independent packet walks per kernel instance; their dependency chains
-   overlap and the per-visit latency drops to ~40 ns.
+**Two phases.**  A single fused walk pays the slab AND the triangle test on
+every iteration (each masked off half the time).  Instead:
 
-3. **Scalar data from SMEM, no branches in the steady state.**  Node
-   metadata (skip link, leaf start/count) lives in SMEM and is read with
-   plain scalar loads.  Node AABBs live in a VMEM (tiles, 8, 128) table; a
-   fetch is a dynamic index on the untiled leading axis plus a one-hot lane
-   reduction (Mosaic forbids dynamic lane slicing) — all vector ops.
+1. `_walk_kernel` — traversal only: slab tests against the whole packet,
+   prunes with the caller's seed bound (closest sphere), and appends each
+   leaf-hit's (tri start, count) to a per-packet SMEM list.  No best_t
+   feedback (a strict superset of the pruned visit set — results identical).
+2. `_intersect_kernel` — one instance per packet: a `fori` over the packet's
+   leaf list running masked Möller–Trumbore, tri-at-a-time against all 1024
+   rays.  The loop bound is a scalar read once from SMEM, so iterations have
+   ZERO scalar syncs and pipeline at full VPU throughput.
 
-Leaf triangles are stored contiguously and tested unmasked: a Möller–Trumbore
+Leaf triangles are tested unmasked by per-lane AABB hits: a Möller–Trumbore
 hit with 0 < t < best_t is valid for *every* lane (the hit point lies inside
-the leaf's AABB, so a per-ray walk would have tested it too), which removes
-any need to thread the packet's per-lane AABB mask into the leaf test.
+the leaf's AABB, so a per-ray walk would have tested that leaf for that lane
+too), which is what makes the phase split sound.
 
-The scene tables must fit on chip: node AABBs + triangles in VMEM (~16 MB),
-node metadata in SMEM (~0.5 MB usable).  The wavefront falls back to the XLA
-walk when they don't, on CPU, or for scenes without a BVH.
+Capacity: node AABBs / triangles in VMEM (~16 MB), node metadata + leaf lists
+in SMEM (~0.5 MB usable).  Leaf lists are capped at LIST_CAP entries per
+1024-ray packet (~25x the worst union observed at depth-8 1080p); on overflow
+the list clamps — callers can detect via the counts output of `_run_walk` and
+re-run the wavefront on the XLA walk.  The wavefront falls back to the XLA
+walk when tables don't fit, on CPU, or for scenes without a BVH.
 
 Same results contract as ops.traversal.traverse_bvh: closest triangle
 strictly beating min_t0, (tri_index, t), -1/inf on miss.
@@ -52,7 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 ROWS = 8                     # sublane rows per packet
 PACKET = ROWS * LANES        # rays per packet (one full VPU register block)
-CHAINS = 8                   # independent packet walks interleaved per instance
+CHAINS = 8                   # interleaved walks per kernel instance
+LIST_CAP = 3072              # leaf-list entries per packet (SMEM)
 INF = jnp.float32(jnp.inf)
 
 # a padded/dead ray parks far outside any scene AABB so its packet-side slab
@@ -78,7 +87,6 @@ def _extract_fields(tile, lane, rows):
 
 
 def _slab(box6, o, inv_d, best_t):
-    """box6: six (1,1) fields; o/inv_d: three (8,128) each; -> (8,128) mask."""
     ox, oy, oz = o
     ix, iy, iz = inv_d
     tx0 = (box6[0] - ox) * ix
@@ -97,8 +105,7 @@ def _slab(box6, o, inv_d, best_t):
 def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
     """Test ONE triangle (scalar index ti, scalar mask `active`) vs a packet.
 
-    Unmasked by per-lane AABB hits: any hit with 0 < t < best_t is globally
-    valid (see module doc).  Pure vector ops — no branches, no scalar syncs.
+    Pure vector ops — no branches, no scalar syncs.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -130,86 +137,177 @@ def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
     return best_t, best_tri
 
 
-def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
-            out_tri_ref, *, num_nodes: int, num_tris: int, chains: int):
-    """One grid step = `chains` interleaved 1024-ray packet walks.
+# --------------------------------------------------------------------------
+# phase 1: walk & collect leaf runs
+# --------------------------------------------------------------------------
 
-    meta_ref (SMEM, 3N int32): [3n]=skip link, [3n+1]=leaf start, [3n+2]=count.
-    ray_ref  (C, 7, 8, 128): fields 0-2 origin xyz, 3-5 inverse direction xyz,
-                             field 6 seed min_t.
-    dir_ref  (C, 3, 8, 128): fields 0-2 direction xyz.
-    nbox_ref (NT, 8, 128) f32: [t, q, l] = AABB field q of node t*128+l
-                             (q: 0-2 min, 3-5 max).
-    tri_ref  (TT, 16, 128) f32: q=0-8 -> v0.xyz v1.xyz v2.xyz.
+
+def _walk_kernel(meta_ref, ray_ref, nbox_ref, list_ref, count_ref, *,
+                 num_nodes: int, chains: int):
+    """`chains` interleaved packet walks; appends leaf runs to SMEM lists.
+
+    meta_ref (SMEM, 3N i32): [3n]=skip link, [3n+1]=tri start, [3n+2]=count.
+    ray_ref  (C, 7, 8, 128): fields 0-2 origin, 3-5 inverse direction,
+                             6 seed bound.
+    nbox_ref (NT, 8, 128) f32: AABB field q of node t*128+l (q: 0-2 min,
+                             3-5 max).
+    list_ref (SMEM out, (C, LIST_CAP) i32): packed start*16+count per
+                             leaf-hit, in walk order.
+    count_ref(SMEM out, (C, 1) i32): entries appended (uncapped — an entry
+                             beyond LIST_CAP means the list clamped).
     """
     nn = jnp.int32(num_nodes)
     os_ = [[ray_ref[i, f] for f in range(3)] for i in range(chains)]
     invs = [[ray_ref[i, 3 + f] for f in range(3)] for i in range(chains)]
-    ds_ = [[dir_ref[i, f] for f in range(3)] for i in range(chains)]
-
-    # per-chain carry: pos, tri-queue cursor, tris left in queue,
-    #                  best_t (8,128), best_tri (8,128)
-    P, QC, QL, BT, BTRI = range(5)
-
-    def sl(c, field):
-        return list(c[field * chains:(field + 1) * chains])
+    bounds = [ray_ref[i, 6] for i in range(chains)]
 
     def cond(c):
-        alive = (c[P * chains] < nn) | (c[QL * chains] > 0)
+        alive = c[0] < nn
         for i in range(1, chains):
-            alive = alive | (c[P * chains + i] < nn) | (c[QL * chains + i] > 0)
+            alive = alive | (c[i] < nn)
         return alive
 
     def body(c):
-        poss, qcs, qls = sl(c, P), sl(c, QC), sl(c, QL)
-        bts, btris = sl(c, BT), sl(c, BTRI)
+        poss = list(c[:chains])
+        curs = list(c[chains:])
         for i in range(chains):
-            pos, qc, ql = poss[i], qcs[i], qls[i]
-            busy = ql > 0            # draining a leaf's triangle run
+            pos, cur = poss[i], curs[i]
             done = pos >= nn
-
-            # --- walk slot: slab-test the current node (wasted while busy)
             node = jnp.minimum(pos, nn - 1)
             box6 = _extract_fields(nbox_ref[node // LANES],
                                    jax.lax.rem(node, LANES), 6)
-            lane_hit = _slab(box6, os_[i], invs[i], bts[i])
-            any_hit = jnp.any(lane_hit) & ~done & ~busy
+            lane_hit = _slab(box6, os_[i], invs[i], bounds[i])
+            any_hit = jnp.any(lane_hit) & ~done
             nxt = meta_ref[3 * node]
             start = meta_ref[3 * node + 1]
             count = meta_ref[3 * node + 2]
+            is_leaf_hit = any_hit & (count > 0)
+            # unconditional store: non-leaf iterations write garbage at the
+            # cursor, overwritten by the next leaf hit / never read
+            list_ref[i, jnp.minimum(cur, LIST_CAP - 1)] = start * 16 + count
+            curs[i] = cur + jnp.where(is_leaf_hit, 1, 0)
+            poss[i] = jnp.where(done, pos, jnp.where(any_hit, pos + 1, nxt))
+        return tuple(poss) + tuple(curs)
 
-            # --- MT slot: test the queue-head triangle (wasted while idle)
-            ti = jnp.minimum(qc, jnp.int32(max(num_tris - 1, 0)))
-            bts[i], btris[i] = _moller_trumbore_one(
-                tri_ref, jnp.maximum(ti, 0), busy, bts[i], btris[i],
-                os_[i], ds_[i])
-
-            # --- state updates (all selects, no branches)
-            enq = any_hit & (count > 0)
-            qcs[i] = jnp.where(enq, start, jnp.where(busy, qc + 1, qc))
-            qls[i] = jnp.where(enq, count, jnp.where(busy, ql - 1, ql))
-            poss[i] = jnp.where(done | busy, pos,
-                                jnp.where(any_hit, pos + 1, nxt))
-        return tuple(poss) + tuple(qcs) + tuple(qls) + tuple(bts) + tuple(btris)
-
-    init = (
-        tuple(jnp.int32(0) for _ in range(chains))          # pos
-        + tuple(jnp.int32(0) for _ in range(chains))        # queue cursor
-        + tuple(jnp.int32(0) for _ in range(chains))        # queue length
-        + tuple(ray_ref[i, 6] for i in range(chains))       # best_t seed
-        + tuple(jnp.full((ROWS, LANES), -1, jnp.int32) for _ in range(chains))
-    )
+    init = tuple(jnp.int32(0) for _ in range(2 * chains))
     out = jax.lax.while_loop(cond, body, init)
     for i in range(chains):
-        out_t_ref[i] = out[BT * chains + i]
-        out_tri_ref[i] = out[BTRI * chains + i]
+        count_ref[i, 0] = out[chains + i]
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "chains", "interpret"))
+def _run_walk(rays, nbox, meta, num_nodes: int, chains: int,
+              interpret: bool = False):
+    num_packets = rays.shape[0]
+    grid = num_packets // chains
+    kernel = functools.partial(_walk_kernel, num_nodes=num_nodes, chains=chains)
+    lists, counts = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chains, LIST_CAP), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chains, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets, LIST_CAP), jnp.int32),
+            jax.ShapeDtypeStruct((num_packets, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, rays, nbox)
+    return lists, counts
+
+
+# --------------------------------------------------------------------------
+# phase 2: intersect collected leaf runs
+# --------------------------------------------------------------------------
+
+
+def _intersect_kernel(list_ref, count_ref, ray_ref, dir_ref, tri_ref,
+                      out_t_ref, out_tri_ref, *, leaf_k: int, chains: int):
+    """`chains` packets per instance: masked MT over each packet's leaf list.
+
+    Each fori bound is one scalar load; the bodies have no scalar syncs, so
+    triangle tests pipeline at full VPU throughput.  (SMEM blocks need an
+    8-divisible sublane dim, hence `chains` packets per instance.)
+    """
+    for i in range(chains):
+        o = [ray_ref[i, f] for f in range(3)]
+        d = [dir_ref[i, f] for f in range(3)]
+        best_t0 = ray_ref[i, 6]
+        best_tri0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        n = jnp.minimum(count_ref[i, 0], LIST_CAP)
+
+        def body(l, carry, i=i, o=o, d=d):
+            best_t, best_tri = carry
+            packed = list_ref[i, l]
+            start = packed // 16
+            count = packed - start * 16
+            for k in range(leaf_k):
+                best_t, best_tri = _moller_trumbore_one(
+                    tri_ref, start + k, k < count, best_t, best_tri, o, d)
+            return best_t, best_tri
+
+        best_t, best_tri = jax.lax.fori_loop(0, n, body, (best_t0, best_tri0))
+        out_t_ref[i] = best_t
+        out_tri_ref[i] = best_tri
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_k", "chains", "interpret"))
+def _run_intersect(rays, dirs, tris, lists, counts, leaf_k: int, chains: int,
+                   interpret: bool = False):
+    num_packets = rays.shape[0]
+    grid = num_packets // chains
+    kernel = functools.partial(_intersect_kernel, leaf_k=leaf_k, chains=chains)
+    out_t, out_tri = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((chains, LIST_CAP), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chains, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chains, 3, ROWS, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lists, counts, rays, dirs, tris)
+    return out_t, out_tri
+
+
+# --------------------------------------------------------------------------
+# packing + public API
+# --------------------------------------------------------------------------
 
 
 def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
                       bvh_tri_count, tri_v0, tri_v1, tri_v2, leaf_k: int):
-    """Device-side packing into the kernel's table layouts (see _kernel doc).
+    """Device-side packing into the kernel table layouts.
 
-    Returns (nbox VMEM f32, meta SMEM i32 flat, tris VMEM f32).
+    Returns (nbox VMEM f32 (NT,8,128), meta SMEM i32 (3N,),
+    tris VMEM f32 (TT,16,128)).
     """
     n = bvh_min.shape[0]
     t = tri_v0.shape[0]
@@ -223,7 +321,7 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
 
     meta = jnp.zeros((3, n), jnp.int32)
     meta = meta.at[0, :].set(bvh_next)
-    meta = meta.at[1, :].set(bvh_tri_start)
+    meta = meta.at[1, :].set(jnp.maximum(bvh_tri_start, 0))
     meta = meta.at[2, :].set(bvh_tri_count)
     meta = meta.T.reshape(3 * n)
 
@@ -236,61 +334,31 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
 
 
 def vmem_table_bytes(num_nodes: int, num_tris: int, leaf_k: int) -> int:
-    """VMEM footprint of the scene tables (node boxes + triangles)."""
+    """VMEM footprint of the scene tables (node boxes + triangles — the two
+    phases each load only one, but budget for the larger program)."""
     n_pad = _round_up(max(num_nodes, 1), LANES)
     t_pad = _round_up(num_tris + leaf_k, LANES)
     return 8 * n_pad * 4 + 16 * t_pad * 4
 
 
 def smem_meta_bytes(num_nodes: int) -> int:
-    """SMEM footprint of the node metadata table."""
-    return 3 * max(num_nodes, 1) * 4
-
-
-@functools.partial(jax.jit, static_argnames=("num_nodes", "num_tris",
-                                             "chains", "interpret"))
-def _run(rays, dirs, nbox, meta, tris, num_nodes: int, num_tris: int,
-         chains: int, interpret: bool = False):
-    num_packets = rays.shape[0]
-    grid = num_packets // chains
-    kernel = functools.partial(_kernel, num_nodes=num_nodes,
-                               num_tris=num_tris, chains=chains)
-    out_t, out_tri = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chains, 3, ROWS, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
-        ],
-        interpret=interpret,
-    )(meta, rays, dirs, nbox, tris)
-    return out_t, out_tri
+    """SMEM footprint: node metadata + per-chain leaf lists."""
+    return 3 * max(num_nodes, 1) * 4 + CHAINS * (LIST_CAP + 1) * 4
 
 
 def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
                          bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
                          min_t0=None, *, leaf_k: int, chains: int = CHAINS,
-                         interpret: bool = False):
+                         interpret: bool = False, with_overflow: bool = False):
     """Drop-in packet-kernel analog of ops.traversal.traverse_bvh.
 
     origin/direction (P, 3); P padded to a multiple of 1024*chains internally.
-    leaf_k: static max triangles per leaf (SceneData.leaf_size).
-    Returns (tri_index, t) with -1/inf for no triangle beating min_t0.
+    leaf_k: static max triangles per leaf (SceneData.leaf_size; must be <= 15
+    for the packed start*16+count list encoding).
+    Returns (tri_index, t) with -1/inf for no triangle beating min_t0; with
+    with_overflow=True returns (tri_index, t, overflowed) where `overflowed`
+    is a scalar bool — True means a packet's leaf list clamped at LIST_CAP and
+    the caller should re-run this wavefront on the exact XLA walk.
     """
     p = origin.shape[0]
     num_nodes = bvh_min.shape[0]
@@ -302,7 +370,8 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
         min_t0 = jax.lax.stop_gradient(min_t0)
 
     if num_nodes == 0:
-        return jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
+        empty = jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
+        return (*empty, jnp.asarray(False)) if with_overflow else empty
 
     p_pad = _round_up(p, PACKET * chains)
     pad = p_pad - p
@@ -328,10 +397,14 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
         bvh_min, bvh_max, bvh_next, bvh_tri_start, bvh_tri_count,
         tri_v0, tri_v1, tri_v2, leaf_k,
     )
-    out_t, out_tri = _run(rays, dirs, nbox, meta, tris,
-                          num_nodes=num_nodes, num_tris=tri_v0.shape[0],
-                          chains=chains, interpret=interpret)
+    lists, counts = _run_walk(rays, nbox, meta, num_nodes=num_nodes,
+                              chains=chains, interpret=interpret)
+    out_t, out_tri = _run_intersect(rays, dirs, tris, lists, counts,
+                                    leaf_k=leaf_k, chains=chains,
+                                    interpret=interpret)
     best_t = out_t.reshape(p_pad)[:p]
     best_tri = out_tri.reshape(p_pad)[:p]
     best_t = jnp.where(best_tri >= 0, best_t, INF)
+    if with_overflow:
+        return best_tri, best_t, jnp.any(counts > LIST_CAP)
     return best_tri, best_t
