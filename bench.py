@@ -59,28 +59,27 @@ def measure(width: int, height: int, spp: int, depth: int, passes: int = 3):
     base_key = jax.random.PRNGKey(0)
     accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
 
-    # instrumented segment count for one sample of every pixel: run the host
-    # loop once and sum live lanes per bounce
-    order, _ = wavefront.render_order(width, height)
-    pixel_ids = jnp.asarray(order)
+    # instrumented segment count for one sample of every pixel: the host loop
+    # reports live lanes entering each bounce (same compiled programs as the
+    # timed passes — do NOT instrument via separate per-bounce dispatches,
+    # which would build a second differently-shaped pallas program)
     key0 = rng_mod.pass_key(base_key, 0)
-    state = wavefront._raygen_jit(camera, config, key0, pixel_ids)
-    segments = 0
-    for d in range(config.max_tracer_depth):
-        segments += int(jnp.sum(state.active))
-        state, alive = wavefront._bounce_jit(state, scene, config, key0, d, pixel_ids)
-        if not bool(alive):
-            break
-    rays_per_pass = segments * spp
+    stats = {}
+    wavefront.trace_radiance_host(scene, camera, config, key0, stats=stats)
+    rays_per_pass = sum(stats["segments"]) * spp
 
     # warm up (compiles are cached from the instrumented run)
     accum = wavefront.render_pass_host(scene, camera, config, accum, 0, base_key)
     jax.block_until_ready(accum)
 
+    import numpy as _np
+
+    _np.asarray(accum[0])  # drain the warm-up for real (block_until_ready
+    # can return before remote execution completes on the axon tunnel)
     t0 = time.perf_counter()
     for i in range(1, 1 + passes):
         accum = wavefront.render_pass_host(scene, camera, config, accum, i, base_key)
-    jax.block_until_ready(accum)
+    _np.asarray(accum[0])  # force completion via data readback
     dt = (time.perf_counter() - t0) / passes
     return rays_per_pass / dt, dt
 

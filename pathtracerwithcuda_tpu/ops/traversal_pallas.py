@@ -39,9 +39,9 @@ too), which is what makes the phase split sound.
 
 Capacity: node AABBs / triangles in VMEM (~16 MB), node metadata + leaf lists
 in SMEM (~0.5 MB usable).  Leaf lists are capped at LIST_CAP entries per
-1024-ray packet (~25x the worst union observed at depth-8 1080p); on overflow
-the list clamps — callers can detect via the counts output of `_run_walk` and
-re-run the wavefront on the XLA walk.  The wavefront falls back to the XLA
+1024-ray packet (~25x the worst union observed at depth-8 1080p); a packet
+that clamps has all its out_tri lanes set to OVERFLOW_TRI — pass
+with_overflow=True to detect and re-run that wavefront on the exact XLA walk.  The wavefront falls back to the XLA
 walk when tables don't fit, on CPU, or for scenes without a BVH.
 
 Same results contract as ops.traversal.traverse_bvh: closest triangle
@@ -61,7 +61,9 @@ LANES = 128
 ROWS = 8                     # sublane rows per packet
 PACKET = ROWS * LANES        # rays per packet (one full VPU register block)
 CHAINS = 8                   # interleaved walks per kernel instance
-LIST_CAP = 3072              # leaf-list entries per packet (SMEM)
+CHUNK_PACKETS = 128          # packets per pallas dispatch (131072 rays)
+LIST_CAP = 3072              # leaf-list entries per packet (SMEM scratch)
+OVERFLOW_TRI = -2            # whole-packet marker: leaf list clamped
 INF = jnp.float32(jnp.inf)
 
 # a padded/dead ray parks far outside any scene AABB so its packet-side slab
@@ -138,23 +140,39 @@ def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
 
 
 # --------------------------------------------------------------------------
-# phase 1: walk & collect leaf runs
+# fused walk + intersect kernel
 # --------------------------------------------------------------------------
 
 
-def _walk_kernel(meta_ref, ray_ref, nbox_ref, list_ref, count_ref, *,
-                 num_nodes: int, chains: int):
-    """`chains` interleaved packet walks; appends leaf runs to SMEM lists.
+def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
+            out_tri_ref, list_ref, *, num_nodes: int, chains: int,
+            leaf_k: int):
+    """`chains` interleaved packet walks, then per-packet leaf intersection.
+
+    Two phases inside one kernel instance (an SMEM-space array crossing a
+    pallas_call boundary trips a backend bug on re-execution, so the leaf
+    lists live in SMEM *scratch*):
+
+    1. Walk: slab-test nodes against whole packets, prune with the caller's
+       seed bound, append each leaf hit's packed (start*16+count) to the
+       chain's scratch list.  The walk has one vector->scalar `any` sync per
+       visit; `chains` independent walks overlap those latencies.
+    2. Intersect: per chain, a fori over its list running masked
+       Möller–Trumbore tri-at-a-time against all 1024 rays.  The loop bound
+       is a scalar carry — the body has zero scalar syncs and pipelines at
+       full VPU throughput.
 
     meta_ref (SMEM, 3N i32): [3n]=skip link, [3n+1]=tri start, [3n+2]=count.
     ray_ref  (C, 7, 8, 128): fields 0-2 origin, 3-5 inverse direction,
                              6 seed bound.
+    dir_ref  (C, 3, 8, 128): fields 0-2 direction.
     nbox_ref (NT, 8, 128) f32: AABB field q of node t*128+l (q: 0-2 min,
                              3-5 max).
-    list_ref (SMEM out, (C, LIST_CAP) i32): packed start*16+count per
-                             leaf-hit, in walk order.
-    count_ref(SMEM out, (C, 1) i32): entries appended (uncapped — an entry
-                             beyond LIST_CAP means the list clamped).
+    tri_ref  (TT, 16, 128) f32: q=0-8 -> v0.xyz v1.xyz v2.xyz.
+    list_ref (SMEM scratch, (C, LIST_CAP) i32).
+
+    A packet whose list clamps at LIST_CAP gets all its out_tri lanes set to
+    OVERFLOW_TRI so the caller can detect and re-run on the exact XLA walk.
     """
     nn = jnp.int32(num_nodes)
     os_ = [[ray_ref[i, f] for f in range(3)] for i in range(chains)]
@@ -190,94 +208,51 @@ def _walk_kernel(meta_ref, ray_ref, nbox_ref, list_ref, count_ref, *,
         return tuple(poss) + tuple(curs)
 
     init = tuple(jnp.int32(0) for _ in range(2 * chains))
-    out = jax.lax.while_loop(cond, body, init)
+    walked = jax.lax.while_loop(cond, body, init)
+
     for i in range(chains):
-        count_ref[i, 0] = out[chains + i]
-
-
-@functools.partial(jax.jit, static_argnames=("num_nodes", "chains", "interpret"))
-def _run_walk(rays, nbox, meta, num_nodes: int, chains: int,
-              interpret: bool = False):
-    num_packets = rays.shape[0]
-    grid = num_packets // chains
-    kernel = functools.partial(_walk_kernel, num_nodes=num_nodes, chains=chains)
-    lists, counts = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((chains, LIST_CAP), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((chains, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((num_packets, LIST_CAP), jnp.int32),
-            jax.ShapeDtypeStruct((num_packets, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(meta, rays, nbox)
-    return lists, counts
-
-
-# --------------------------------------------------------------------------
-# phase 2: intersect collected leaf runs
-# --------------------------------------------------------------------------
-
-
-def _intersect_kernel(list_ref, count_ref, ray_ref, dir_ref, tri_ref,
-                      out_t_ref, out_tri_ref, *, leaf_k: int, chains: int):
-    """`chains` packets per instance: masked MT over each packet's leaf list.
-
-    Each fori bound is one scalar load; the bodies have no scalar syncs, so
-    triangle tests pipeline at full VPU throughput.  (SMEM blocks need an
-    8-divisible sublane dim, hence `chains` packets per instance.)
-    """
-    for i in range(chains):
-        o = [ray_ref[i, f] for f in range(3)]
         d = [dir_ref[i, f] for f in range(3)]
         best_t0 = ray_ref[i, 6]
         best_tri0 = jnp.full((ROWS, LANES), -1, jnp.int32)
-        n = jnp.minimum(count_ref[i, 0], LIST_CAP)
+        n_raw = walked[chains + i]
+        n = jnp.minimum(n_raw, LIST_CAP)
 
-        def body(l, carry, i=i, o=o, d=d):
+        def mt_body(l, carry, i=i, d=d):
             best_t, best_tri = carry
             packed = list_ref[i, l]
             start = packed // 16
             count = packed - start * 16
             for k in range(leaf_k):
                 best_t, best_tri = _moller_trumbore_one(
-                    tri_ref, start + k, k < count, best_t, best_tri, o, d)
+                    tri_ref, start + k, k < count, best_t, best_tri,
+                    os_[i], d)
             return best_t, best_tri
 
-        best_t, best_tri = jax.lax.fori_loop(0, n, body, (best_t0, best_tri0))
+        best_t, best_tri = jax.lax.fori_loop(0, n, mt_body,
+                                             (best_t0, best_tri0))
+        best_tri = jnp.where(n_raw > LIST_CAP, OVERFLOW_TRI, best_tri)
         out_t_ref[i] = best_t
         out_tri_ref[i] = best_tri
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_k", "chains", "interpret"))
-def _run_intersect(rays, dirs, tris, lists, counts, leaf_k: int, chains: int,
-                   interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("num_nodes", "leaf_k", "chains",
+                                             "interpret"))
+def _run(rays, dirs, nbox, meta, tris, num_nodes: int, leaf_k: int,
+         chains: int, interpret: bool = False):
     num_packets = rays.shape[0]
     grid = num_packets // chains
-    kernel = functools.partial(_intersect_kernel, leaf_k=leaf_k, chains=chains)
+    kernel = functools.partial(_kernel, num_nodes=num_nodes, chains=chains,
+                               leaf_k=leaf_k)
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((chains, LIST_CAP), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((chains, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chains, 3, ROWS, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -292,8 +267,9 @@ def _run_intersect(rays, dirs, tris, lists, counts, leaf_k: int, chains: int,
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
         ],
+        scratch_shapes=[pltpu.SMEM((chains, LIST_CAP), jnp.int32)],
         interpret=interpret,
-    )(lists, counts, rays, dirs, tris)
+    )(meta, rays, dirs, nbox, tris)
     return out_t, out_tri
 
 
@@ -373,7 +349,13 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
         empty = jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
         return (*empty, jnp.asarray(False)) if with_overflow else empty
 
-    p_pad = _round_up(p, PACKET * chains)
+    # Fixed-size chunks: every wavefront size runs the SAME pallas executable
+    # (same grid, same block shapes).  Two differently-shaped instances of
+    # this kernel in one process poison each other on re-execution (axon/
+    # Mosaic backend bug — second execution of the second shape returns
+    # InvalidArgument), and constant shapes also bound compile count.
+    chunk_rays = CHUNK_PACKETS * PACKET
+    p_pad = _round_up(p, chunk_rays)
     pad = p_pad - p
 
     # dead lanes (seed bound 0) park far away so they cannot pass the slab
@@ -397,14 +379,20 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
         bvh_min, bvh_max, bvh_next, bvh_tri_start, bvh_tri_count,
         tri_v0, tri_v1, tri_v2, leaf_k,
     )
-    lists, counts = _run_walk(rays, nbox, meta, num_nodes=num_nodes,
-                              chains=chains, interpret=interpret)
-    out_t, out_tri = _run_intersect(rays, dirs, tris, lists, counts,
-                                    leaf_k=leaf_k, chains=chains,
-                                    interpret=interpret)
+    n_chunks = num_packets // CHUNK_PACKETS
+    rays = rays.reshape(n_chunks, CHUNK_PACKETS, 7, ROWS, LANES)
+    dirs = dirs.reshape(n_chunks, CHUNK_PACKETS, 3, ROWS, LANES)
+    outs = [
+        _run(rays[c], dirs[c], nbox, meta, tris, num_nodes=num_nodes,
+             leaf_k=leaf_k, chains=chains, interpret=interpret)
+        for c in range(n_chunks)
+    ]
+    out_t = jnp.concatenate([o[0] for o in outs], axis=0)
+    out_tri = jnp.concatenate([o[1] for o in outs], axis=0)
+    overflow = jnp.any(out_tri == OVERFLOW_TRI)
     best_t = out_t.reshape(p_pad)[:p]
-    best_tri = out_tri.reshape(p_pad)[:p]
+    best_tri = jnp.maximum(out_tri.reshape(p_pad)[:p], -1)
     best_t = jnp.where(best_tri >= 0, best_t, INF)
     if with_overflow:
-        return best_tri, best_t, jnp.any(counts > LIST_CAP)
+        return best_tri, best_t, overflow
     return best_tri, best_t

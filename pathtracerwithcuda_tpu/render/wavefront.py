@@ -171,7 +171,7 @@ def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
 
 
 def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
-                active=None):
+                active=None, tri_override=None):
     """Closest sphere-or-triangle hit per ray.
 
     Returns (min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit); min_t is
@@ -182,6 +182,11 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
     `active` (optional bool mask): dead lanes get a zero traversal bound so
     whole-dead packets skip the BVH walk at the root (their results are
     unused by the caller anyway).
+
+    `tri_override` (optional (P,) int32): precomputed nearest-triangle ids —
+    the host loop runs the Pallas traversal as its own fixed-shape program
+    (see trace_radiance_host) and feeds the result in here, keeping this
+    (shape-varying) program free of pallas_call.
     """
     p = origin.shape[0]
     if scene.num_spheres > 0:
@@ -197,7 +202,9 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
         bound = jnp.where(active, bound, 0.0)
 
     if scene.num_triangles > 0:
-        if scene.num_bvh_nodes > 1:
+        if tri_override is not None:
+            tri_idx = tri_override
+        elif scene.num_bvh_nodes > 1:
             if _use_packet_kernel(scene, config):
                 from pathtracerwithcuda_tpu.ops.traversal_pallas import (
                     traverse_bvh_packets,
@@ -237,7 +244,8 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
 # --------------------------------------------------------------------------
 
 
-def bounce_step(state: RayState, scene: SceneData, config: RenderConfig, uniforms) -> RayState:
+def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
+                uniforms, tri_override=None) -> RayState:
     """One wavefront bounce: intersect → medium event → shade/miss → select.
 
     uniforms: (P, 6), slot layout per ops.rng.bounce_uniforms.
@@ -247,7 +255,7 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig, uniform
     mats = scene.materials
 
     min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit = nearest_hit(
-        o, d, scene, config, state.active
+        o, d, scene, config, state.active, tri_override
     )
 
     # ---- homogeneous medium event (Kernel/path_tracer_kernel.cu:456-492)
@@ -498,24 +506,193 @@ def _bounce_jit(state: RayState, scene: SceneData, config: RenderConfig,
                 key, depth, pixel_ids):
     u = rng.bounce_uniforms(key, depth, pixel_ids)
     new_state = bounce_step(state, scene, config, u)
-    return new_state, jnp.any(new_state.active)
+    return new_state, jnp.sum(new_state.active)
+
+
+# ---- fixed-shape Pallas traversal, separate from the shape-varying shade ---
+#
+# The axon/Mosaic backend wedges when two differently-shaped XLA executables
+# embedding this pallas kernel exist in one process (the second one fails
+# with InvalidArgument on re-execution).  The host loop therefore keeps
+# exactly ONE pallas-containing program — the traversal below, always at the
+# full padded wavefront size — and every shape-varying program (shade,
+# repack) is pure XLA.  Compacted wavefronts are padded back up with parked
+# rays; sorted dead packets miss the root and exit in ~2 iterations, so the
+# padding costs ~1% of the traversal.
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_k",))
+def _traverse_fixed_jit(origin, direction, bound, bvh_min, bvh_max, bvh_next,
+                        bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
+                        leaf_k: int):
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import traverse_bvh_packets
+
+    tri, _, overflow = traverse_bvh_packets(
+        origin, direction, bvh_min, bvh_max, bvh_next, bvh_tri_start,
+        bvh_tri_count, tri_v0, tri_v1, tri_v2, bound, leaf_k=leaf_k,
+        with_overflow=True,
+    )
+    return tri, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("p_fixed",))
+def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
+    """Sphere-seed traversal bounds, then pad rays to the fixed size with
+    parked (never-hit) rays."""
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import FAR_ORIGIN
+
+    p = state.origin.shape[0]
+    if scene.num_spheres > 0:
+        sph_t, _ = nearest_sphere(state.origin, state.direction,
+                                  scene.sphere_center, scene.sphere_radius)
+    else:
+        sph_t = jnp.full((p,), INF)
+    bound = jnp.where(state.active, jax.lax.stop_gradient(sph_t), 0.0)
+    pad = p_fixed - p
+    o = jnp.pad(state.origin, ((0, pad), (0, 0)), constant_values=FAR_ORIGIN)
+    d = jnp.pad(state.direction, ((0, pad), (0, 0)), constant_values=1.0)
+    b = jnp.pad(bound, ((0, pad),))  # 0-bound = dead
+    return o, d, b
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _bounce_with_tri_jit(state: RayState, scene: SceneData,
+                         config: RenderConfig, key, depth, pixel_ids,
+                         tri_full):
+    u = rng.bounce_uniforms(key, depth, pixel_ids)
+    new_state = bounce_step(state, scene, config, u,
+                            tri_override=tri_full[: state.origin.shape[0]])
+    return new_state, jnp.sum(new_state.active)
+
+
+# wavefront sizes are drawn from a short ladder (factor-4 steps) so the
+# per-bounce program compiles at most a handful of times per resolution
+_COMPACT_MIN = 131072       # don't shrink dispatches below this
+_COMPACT_ALIGN = 131072     # traversal chunk size — keep kernel padding static
+
+
+def _bucket_ladder(p: int):
+    sizes = [p]
+    s = p
+    while s // 4 >= _COMPACT_MIN:
+        s = ((s // 4 + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
+        sizes.append(s)
+    return sizes
+
+
+def _bucket_for(count: int, cur: int, ladder) -> int:
+    best = cur
+    for s in ladder:
+        if s >= count and s <= cur and s < best:
+            best = s
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",), donate_argnums=(3,))
+def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
+                out_size: int):
+    """Flush lane radiance into the full-res buffer, then compact the active
+    lanes into a dense wavefront of `out_size` lanes.
+
+    This is the TPU answer to the reference's thrust::remove_if compaction
+    (Kernel/parallel_function.cu:42-49), with shapes static per bucket size.
+    Compaction is ORDER-PRESERVING (cumsum-based nonzero), so the packet
+    coherence of the 32x32-tile render order survives; an explicit
+    (octant, morton) re-sort was tried and costs more than it saves — XLA's
+    TPU sort runs ~1 s on a 2M-lane wavefront while the coherence win on the
+    traversal is a few hundred ms.
+
+    Padded rows duplicate lane 0; they are force-deactivated (and restart
+    with zero radiance), so they trace nothing and flush nothing.
+    """
+    radiance_full = radiance_full.at[live_ids].add(state.radiance)
+    act = state.active
+    sel = jnp.nonzero(act, size=out_size, fill_value=0)[0]
+    valid = jnp.arange(out_size) < jnp.sum(act)
+    new_state = RayState(
+        origin=state.origin[sel],
+        direction=state.direction[sel],
+        throughput=state.throughput[sel],
+        radiance=jnp.zeros((out_size, 3), jnp.float32),
+        active=act[sel] & valid,
+        med_absorption=state.med_absorption[sel],
+        med_scattering=state.med_scattering[sel],
+    )
+    return new_state, pixel_ids[sel], live_ids[sel], radiance_full
+
+
+@jax.jit
+def _flush_jit(radiance_full, live_ids, radiance):
+    return radiance_full.at[live_ids].add(radiance)
 
 
 def trace_radiance_host(scene: SceneData, camera: RenderCamera,
-                        config: RenderConfig, key, pixel_ids=None) -> Array:
-    """Host-driven bounce loop: each bounce is its own compiled program and
-    the all-dead early exit happens on the host.  Functionally identical to
-    loop_mode='while'; exists because loop-wrapped megaprograms can compile
-    pathologically slowly on some toolchains while the per-bounce program
-    (reused across all depths) compiles once in seconds."""
+                        config: RenderConfig, key, pixel_ids=None, *,
+                        stats=None) -> Array:
+    """Host-driven bounce loop: the all-dead early exit happens on the host
+    and the live wavefront is compacted + coherence-sorted between bounces
+    (see _repack_jit).  On TPU the Pallas traversal runs as its own
+    fixed-shape program per bounce (see _traverse_fixed_jit) and its result
+    feeds the shape-varying shade program.
+
+    Functionally identical to loop_mode='while' (all RNG is keyed on the
+    global pixel id, so lane placement is irrelevant); this is the production
+    TPU path — the fused modes keep masked lanes because XLA needs static
+    shapes inside one program.
+
+    stats: optional dict; gains 'segments' (live rays entering each bounce)
+    and 'wavefront' (dispatch size per bounce).
+    """
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+    p = int(pixel_ids.shape[0])
+    ladder = _bucket_ladder(p)
+    use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
+    if use_packets:
+        p_fixed = ((p + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
     state = _raygen_jit(camera, config, key, pixel_ids)
+    live_ids = jnp.arange(p, dtype=jnp.int32)
+    radiance_full = jnp.zeros((p, 3), jnp.float32)
+    cur = p
+    count = p
+    segments, sizes = [], []
     for depth in range(config.max_tracer_depth):
-        state, alive = _bounce_jit(state, scene, config, key, depth, pixel_ids)
-        if not bool(alive):
+        segments.append(count)
+        sizes.append(cur)
+        if use_packets:
+            o, d, b = _pad_rays_jit(state, scene, p_fixed)
+            tri_full, overflow = _traverse_fixed_jit(
+                o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+                scene.bvh_tri_start, scene.bvh_tri_count,
+                scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                leaf_k=scene.leaf_size)
+            if bool(overflow):
+                # leaf list clamped (pathological wavefront): redo this
+                # bounce on the exact XLA walk
+                import dataclasses
+
+                cfg_xla = dataclasses.replace(config, use_pallas=False)
+                state, alive = _bounce_jit(state, scene, cfg_xla, key, depth,
+                                           pixel_ids)
+            else:
+                state, alive = _bounce_with_tri_jit(
+                    state, scene, config, key, depth, pixel_ids, tri_full)
+        else:
+            state, alive = _bounce_jit(state, scene, config, key, depth,
+                                       pixel_ids)
+        count = int(alive)
+        if count == 0:
             break
-    return state.radiance
+        if depth < config.max_tracer_depth - 1:
+            bucket = _bucket_for(count, cur, ladder)
+            if bucket < cur:
+                state, pixel_ids, live_ids, radiance_full = _repack_jit(
+                    state, pixel_ids, live_ids, radiance_full, bucket)
+                cur = bucket
+    if stats is not None:
+        stats["segments"] = segments
+        stats["wavefront"] = sizes
+    return _flush_jit(radiance_full, live_ids, state.radiance)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "differentiable"))
