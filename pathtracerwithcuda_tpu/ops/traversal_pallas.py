@@ -20,17 +20,18 @@ ANY lane hits.  Measured-on-v5e rules that shape the design:
 * Node metadata and the leaf lists live in SMEM: scalar loads/stores, no
   vector↔scalar traffic.
 
-**Two phases.**  A single fused walk pays the slab AND the triangle test on
-every iteration (each masked off half the time).  Instead:
+**Two phases in one kernel.**  A single fused walk pays the slab AND the
+triangle test on every iteration (each masked off half the time).  Instead,
+per kernel instance:
 
-1. `_walk_kernel` — traversal only: slab tests against the whole packet,
-   prunes with the caller's seed bound (closest sphere), and appends each
-   leaf-hit's (tri start, count) to a per-packet SMEM list.  No best_t
-   feedback (a strict superset of the pruned visit set — results identical).
-2. `_intersect_kernel` — one instance per packet: a `fori` over the packet's
-   leaf list running masked Möller–Trumbore, tri-at-a-time against all 1024
-   rays.  The loop bound is a scalar read once from SMEM, so iterations have
-   ZERO scalar syncs and pipeline at full VPU throughput.
+1. Walk — traversal only: slab tests against the whole packet, prunes with
+   the caller's seed bound (closest sphere), and appends each leaf-hit's
+   (tri start, count) to the packet's SMEM-scratch list.  No best_t feedback
+   (a strict superset of the pruned visit set — results identical).
+2. Intersect — a `fori` over each packet's leaf list running masked
+   Möller–Trumbore, tri-at-a-time against all 1024 rays.  The loop bound is
+   a scalar carry, so the body has ZERO scalar syncs and pipelines at full
+   VPU throughput.
 
 Leaf triangles are tested unmasked by per-lane AABB hits: a Möller–Trumbore
 hit with 0 < t < best_t is valid for *every* lane (the hit point lies inside
@@ -41,8 +42,13 @@ Capacity: node AABBs / triangles in VMEM (~16 MB), node metadata + leaf lists
 in SMEM (~0.5 MB usable).  Leaf lists are capped at LIST_CAP entries per
 1024-ray packet (~25x the worst union observed at depth-8 1080p); a packet
 that clamps has all its out_tri lanes set to OVERFLOW_TRI — pass
-with_overflow=True to detect and re-run that wavefront on the exact XLA walk.  The wavefront falls back to the XLA
-walk when tables don't fit, on CPU, or for scenes without a BVH.
+with_overflow=True to detect and re-run that wavefront on the exact XLA walk.
+The wavefront falls back to the XLA walk when tables don't fit, on CPU, or
+for scenes without a BVH.
+
+Each wavefront is dispatched in CHUNK_PACKETS-sized pieces so every call
+compiles the SAME pallas executable; see render.wavefront for why the kernel
+must additionally stay out of shape-varying XLA programs entirely.
 
 Same results contract as ops.traversal.traverse_bvh: closest triangle
 strictly beating min_t0, (tri_index, t), -1/inf on miss.

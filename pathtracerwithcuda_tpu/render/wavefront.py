@@ -294,33 +294,39 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
 
     safe_tri = jnp.clip(tri_idx, 0, max(scene.num_triangles - 1, 0))
     safe_sph = jnp.clip(sph_idx, 0, max(scene.num_spheres - 1, 0))
-    if scene.num_triangles > 0:
-        tri_mat = scene.tri_material[safe_tri]
-    else:
-        tri_mat = jnp.zeros((p,), jnp.int32)
     if scene.num_spheres > 0:
         sph_mat = scene.sphere_material[safe_sph]
     else:
         sph_mat = jnp.zeros((p,), jnp.int32)
-    mat_id = jnp.where(is_tri, tri_mat, sph_mat)
 
     t_safe = jnp.where(any_hit, min_t, 0.0)  # same inf-guard as ff_safe
     hit_point = o + d * t_safe[:, None]
     w0 = 1.0 - b1 - b2
     if scene.num_triangles > 0:
+        # ONE row gather instead of seven: TPU gathers pay per row, so the
+        # per-triangle attributes are packed into a (T, 16) matrix first
+        # (a cheap streaming concat) and fetched in a single take
+        tri_rows = jnp.concatenate(
+            [scene.tri_n0, scene.tri_n1, scene.tri_n2, scene.tri_uv0,
+             scene.tri_uv1, scene.tri_uv2,
+             scene.tri_material.astype(jnp.float32)[:, None]], axis=1,
+        )[safe_tri]  # (P, 16)
         tri_normal = (
-            scene.tri_n0[safe_tri] * w0[:, None]
-            + scene.tri_n1[safe_tri] * b1[:, None]
-            + scene.tri_n2[safe_tri] * b2[:, None]
+            tri_rows[:, 0:3] * w0[:, None]
+            + tri_rows[:, 3:6] * b1[:, None]
+            + tri_rows[:, 6:9] * b2[:, None]
         )  # deliberately unnormalized (reference :505-507)
         uv = (
-            scene.tri_uv0[safe_tri] * w0[:, None]
-            + scene.tri_uv1[safe_tri] * b1[:, None]
-            + scene.tri_uv2[safe_tri] * b2[:, None]
+            tri_rows[:, 9:11] * w0[:, None]
+            + tri_rows[:, 11:13] * b1[:, None]
+            + tri_rows[:, 13:15] * b2[:, None]
         )
+        tri_mat = tri_rows[:, 15].astype(jnp.int32)  # exact for < 2^24 ids
     else:
         tri_normal = jnp.zeros((p, 3), jnp.float32)
         uv = jnp.zeros((p, 2), jnp.float32)
+        tri_mat = jnp.zeros((p,), jnp.int32)
+    mat_id = jnp.where(is_tri, tri_mat, sph_mat)
     if scene.num_spheres > 0:
         sph_normal_raw = hit_point - scene.sphere_center[safe_sph]
         sph_normal = sph_normal_raw / jnp.maximum(length(sph_normal_raw), 1e-20)[:, None]
@@ -328,11 +334,31 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
         sph_normal = jnp.zeros((p, 3), jnp.float32)
     normal = jnp.where(is_tri[:, None], tri_normal, sph_normal)
 
+    # all material parameters in ONE row gather; built from the (leaf,
+    # differentiable) MaterialTable arrays each call so gradients still flow
+    mat_rows = jnp.concatenate(
+        [mats.diffuse, mats.emission, mats.specular, mats.absorption,
+         mats.reduced_scattering, mats.transparent[:, None],
+         mats.roughness[:, None], mats.refraction_index[:, None],
+         mats.extinction[:, None],
+         mats.diffuse_texture_id.astype(jnp.float32)[:, None],
+         mats.specular_texture_id.astype(jnp.float32)[:, None]], axis=1,
+    )[mat_id]  # (P, 21)
+    mat_diffuse = mat_rows[:, 0:3]
+    mat_emission = mat_rows[:, 3:6]
+    mat_specular = mat_rows[:, 6:9]
+    mat_absorption = mat_rows[:, 9:12]
+    mat_reduced_scattering = mat_rows[:, 12:15]
+    mat_transparent = mat_rows[:, 15]
+    mat_roughness = mat_rows[:, 16]
+    mat_refraction_index = mat_rows[:, 17]
+    mat_extinction = mat_rows[:, 18]
+
     # texture modulation (triangles only; :509-526)
-    diffuse_color = mats.diffuse[mat_id]
-    specular_color = mats.specular[mat_id]
-    d_tex = mats.diffuse_texture_id[mat_id]
-    s_tex = mats.specular_texture_id[mat_id]
+    diffuse_color = mat_diffuse
+    specular_color = mat_specular
+    d_tex = mat_rows[:, 19].astype(jnp.int32)
+    s_tex = mat_rows[:, 20].astype(jnp.int32)
     if scene.textures.count > 0 and scene.num_triangles > 0:
         d_tex_on = is_tri & (d_tex >= 0)
         s_tex_on = is_tri & (s_tex >= 0)
@@ -341,9 +367,9 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
         diffuse_color = jnp.where(d_tex_on[:, None], diffuse_color * d_sample, diffuse_color)
         specular_color = jnp.where(s_tex_on[:, None], specular_color * s_sample, specular_color)
 
-    mat_n = mats.refraction_index[mat_id]
-    mat_k = mats.extinction[mat_id]
-    transparent = mats.transparent[mat_id] > 0.5
+    mat_n = mat_refraction_index
+    mat_k = mat_extinction
+    transparent = mat_transparent > 0.5
     air_n = jnp.float32(config.air_refraction_index)
     air_abs = jnp.asarray(config.air_absorption_coef, jnp.float32)
     air_rs = jnp.asarray(config.air_reduced_scattering_coef, jnp.float32)
@@ -353,8 +379,8 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     swap = back & transparent  # entering from inside a transparent object
     n_in = jnp.where(swap, mat_n, air_n)
     n_out = jnp.where(swap, air_n, mat_n)
-    out_absorption = jnp.where(swap[:, None], air_abs[None, :], mats.absorption[mat_id])
-    out_scattering = jnp.where(swap[:, None], air_rs[None, :], mats.reduced_scattering[mat_id])
+    out_absorption = jnp.where(swap[:, None], air_abs[None, :], mat_absorption)
+    out_scattering = jnp.where(swap[:, None], air_rs[None, :], mat_reduced_scattering)
 
     reflection_dir = reflect(normal, d)
     del reflection_dir  # the reference computes but only uses the GGX micro-reflection
@@ -371,7 +397,7 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     lobe_diffuse = surf & ~lobe_reflect & ~transparent
 
     # GGX microfacet reflection (:565-584)
-    alpha = remap_roughness(mats.roughness[mat_id])
+    alpha = remap_roughness(mat_roughness)
     micro_normal = ggx_half_vector(normal, alpha, uniforms[:, 4], uniforms[:, 5])
     micro_reflection = reflect(micro_normal, d)
     g = ggx_smith_g1(alpha, normal, micro_normal, d) * ggx_smith_g1(
@@ -396,7 +422,7 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
         scene.env_faces, d, config.use_sky_box, config.use_sky,
         config.use_bilinear, scene.has_env_map,
     )
-    emitted = jnp.where(lobe_diffuse[:, None], thr * mats.emission[mat_id], 0.0)
+    emitted = jnp.where(lobe_diffuse[:, None], thr * mat_emission, 0.0)
     escaped = jnp.where(miss[:, None], thr * bg, 0.0)
     new_radiance = state.radiance + emitted + escaped
 
@@ -655,6 +681,8 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     radiance_full = jnp.zeros((p, 3), jnp.float32)
     cur = p
     count = p
+    overflow_acc = None
+    pixel_ids0 = pixel_ids
     segments, sizes = [], []
     for depth in range(config.max_tracer_depth):
         segments.append(count)
@@ -666,17 +694,11 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                 scene.bvh_tri_start, scene.bvh_tri_count,
                 scene.tri_v0, scene.tri_v1, scene.tri_v2,
                 leaf_k=scene.leaf_size)
-            if bool(overflow):
-                # leaf list clamped (pathological wavefront): redo this
-                # bounce on the exact XLA walk
-                import dataclasses
-
-                cfg_xla = dataclasses.replace(config, use_pallas=False)
-                state, alive = _bounce_jit(state, scene, cfg_xla, key, depth,
-                                           pixel_ids)
-            else:
-                state, alive = _bounce_with_tri_jit(
-                    state, scene, config, key, depth, pixel_ids, tri_full)
+            # overflow (leaf list clamped) is checked ONCE per trace below —
+            # a per-bounce bool() would cost a ~27 ms host round trip each
+            overflow_acc = overflow if overflow_acc is None else (overflow_acc | overflow)
+            state, alive = _bounce_with_tri_jit(
+                state, scene, config, key, depth, pixel_ids, tri_full)
         else:
             state, alive = _bounce_jit(state, scene, config, key, depth,
                                        pixel_ids)
@@ -692,6 +714,14 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     if stats is not None:
         stats["segments"] = segments
         stats["wavefront"] = sizes
+    if overflow_acc is not None and bool(overflow_acc):
+        # pathological wavefront clamped a leaf list at some bounce: redo the
+        # whole trace on the exact XLA walk (rare; correctness over speed)
+        import dataclasses
+
+        cfg_xla = dataclasses.replace(config, use_pallas=False)
+        return trace_radiance_host(scene, camera, cfg_xla, key, pixel_ids0,
+                                   stats=stats)
     return _flush_jit(radiance_full, live_ids, state.radiance)
 
 
