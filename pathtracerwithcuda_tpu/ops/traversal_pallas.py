@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 ROWS = 8                     # sublane rows per packet
 PACKET = ROWS * LANES        # rays per packet (one full VPU register block)
-CHAINS = 8                   # interleaved walks per kernel instance
+CHAINS = 16                   # interleaved walks per kernel instance
 CHUNK_PACKETS = 128          # packets per pallas dispatch (131072 rays)
 LIST_CAP = 3072              # leaf-list entries per packet (SMEM scratch)
 OVERFLOW_TRI = -2            # whole-packet marker: leaf list clamped
