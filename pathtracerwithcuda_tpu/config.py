@@ -83,8 +83,6 @@ class RenderConfig:
     # new in the TPU build ------------------------------------------------
     # samples accumulated per render_pass call (reference: 1 pass per frame)
     spp_per_pass: int = 1
-    # max traversal iterations per while loop; 0 = 2 * node_count (safe bound)
-    max_traversal_steps: int = 0
     # bounce-loop composition: "while" (early-exit lax.while_loop),
     # "scan" (fixed depth, reverse-AD safe), "unroll" (python-unrolled),
     # "host" (one dispatch per bounce with host-side early exit — smallest
