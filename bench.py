@@ -1,17 +1,21 @@
-"""Benchmark: rays/sec/chip on the flagship scene (BASELINE.json headline).
+"""Benchmark suite: rays/sec/chip on the BASELINE.md configs.
 
-Renders the procedural flagship scene (≈66k-triangle GGX torus + textured
-floor + glass sphere + env map) at 1080p, 4 spp, depth 8, on whatever chip
-jax.devices() provides.  "Rays" counts actual traced path segments (active
-lanes summed over bounces — the analog of the reference's wavefront size
-after compaction each bounce).
+Headline (the ONE stdout JSON line the driver records): the flagship scene
+(~66k-triangle GGX torus + textured floor + glass sphere + env map) at
+1080p, 4 spp, depth 8, forward only.  "Rays" counts actual traced path
+segments (live lanes entering each bounce — the analog of the reference's
+wavefront size after compaction, Kernel/path_tracer_kernel.cu:738-768).
 
-Robustness: the axon TPU tunnel in this environment can take minutes per
-compile and occasionally hangs; the benchmark runs under a watchdog and
-falls back to (a) a smaller frame, then (b) the last successful cached
-result, so the driver always receives its one JSON line:
+The full suite (cornell / bunny-class BVH / flagship / SSS+DoF / fwd+bwd)
+is written to BENCH_SUITE.json and echoed as JSON lines on stderr.
 
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+Process isolation: EVERY measurement runs in its own subprocess
+(`python bench.py --worker <name>`).  The axon/Mosaic backend wedges — and
+can crash the TPU worker — when two differently-shaped executables embedding
+the same Pallas kernel exist in one process, so no two configs (and no
+fallback retry) ever share a process.  Within one worker the host render
+loop keeps the packet-traversal kernel at a single padded wavefront shape
+(render/wavefront.py).
 
 vs_baseline normalizes against the north-star target of 1e9 rays/s aggregate
 on a 16-chip v5p slice → 6.25e7 rays/s per-chip share (BASELINE.json; the
@@ -22,40 +26,80 @@ from __future__ import annotations
 
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
 
 PER_CHIP_TARGET = 1e9 / 16.0
-CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
-WATCHDOG_SECONDS = int(os.environ.get("BENCH_WATCHDOG_S", "1500"))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(ROOT, ".bench_cache.json")
+SUITE_PATH = os.path.join(ROOT, "BENCH_SUITE.json")
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_WATCHDOG_S", "1400"))
+
+# name -> (worker kwargs, per-worker timeout seconds)
+FLAGSHIP = "flagship_1080p_4spp_d8"
+SUITE = {
+    FLAGSHIP: (dict(scene="flagship", width=1920, height=1080, spp=4,
+                    depth=8), 900),
+    "flagship_960x544_4spp_d8": (dict(scene="flagship", width=960, height=544,
+                                      spp=4, depth=8), 600),
+    "cornell_256_4spp_d4": (dict(scene="cornell", width=256, height=256,
+                                 spp=4, depth=4), 300),
+    "mesh_bvh_512": (dict(scene="flagship", width=512, height=512, spp=4,
+                          depth=8), 420),
+    "sss_dof_1080p": (dict(scene="sss_dof", width=1920, height=1080, spp=4,
+                           depth=8), 600),
+    "fwd_bwd_256": (dict(scene="flagship", width=256, height=256, spp=1,
+                         depth=4, backward=True), 420),
+}
 
 
-class Timeout(Exception):
-    pass
+# --------------------------------------------------------------------------
+# worker: one measurement per process
+# --------------------------------------------------------------------------
 
 
-def _alarm(signum, frame):
-    raise Timeout()
-
-
-def measure(width: int, height: int, spp: int, depth: int, passes: int = 3):
-    import jax
-    import jax.numpy as jnp
-
-    from pathtracerwithcuda_tpu.ops import rng as rng_mod
-    from pathtracerwithcuda_tpu.render import wavefront
+def _build(kw):
     from pathtracerwithcuda_tpu.scene.build import build_scene_data
     from pathtracerwithcuda_tpu.scene.examples import (
         flagship_camera,
         flagship_config,
         flagship_scene,
+        cornell_spheres_scene,
+        cornell_camera,
+        cornell_config,
+        sss_dof_scene,
+        sss_dof_camera,
+        sss_dof_config,
     )
 
-    config = flagship_config(width=width, height=height, max_tracer_depth=depth,
-                             spp_per_pass=spp, loop_mode="host")
-    scene = build_scene_data(flagship_scene(), config)
-    camera = flagship_camera(width, height)
+    w, h = kw["width"], kw["height"]
+    name = kw["scene"]
+    if name == "cornell":
+        config = cornell_config(width=w, height=h, max_tracer_depth=kw["depth"],
+                                spp_per_pass=kw["spp"], loop_mode="host")
+        return build_scene_data(cornell_spheres_scene(), config), \
+            cornell_camera(w, h), config
+    if name == "sss_dof":
+        config = sss_dof_config(width=w, height=h, max_tracer_depth=kw["depth"],
+                                spp_per_pass=kw["spp"], loop_mode="host")
+        return build_scene_data(sss_dof_scene(), config), \
+            sss_dof_camera(w, h), config
+    config = flagship_config(width=w, height=h, max_tracer_depth=kw["depth"],
+                             spp_per_pass=kw["spp"], loop_mode="host")
+    return build_scene_data(flagship_scene(), config), \
+        flagship_camera(w, h), config
+
+
+def measure_forward(kw, passes: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracerwithcuda_tpu.ops import rng as rng_mod
+    from pathtracerwithcuda_tpu.render import wavefront
+
+    scene, camera, config = _build(kw)
     base_key = jax.random.PRNGKey(0)
     accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
 
@@ -66,56 +110,168 @@ def measure(width: int, height: int, spp: int, depth: int, passes: int = 3):
     key0 = rng_mod.pass_key(base_key, 0)
     stats = {}
     wavefront.trace_radiance_host(scene, camera, config, key0, stats=stats)
-    rays_per_pass = sum(stats["segments"]) * spp
+    rays_per_pass = sum(stats["segments"]) * config.spp_per_pass
 
-    # warm up (compiles are cached from the instrumented run)
     accum = wavefront.render_pass_host(scene, camera, config, accum, 0, base_key)
     jax.block_until_ready(accum)
-
-    import numpy as _np
-
-    _np.asarray(accum[0])  # drain the warm-up for real (block_until_ready
+    np.asarray(accum[0])  # drain the warm-up for real (block_until_ready
     # can return before remote execution completes on the axon tunnel)
     t0 = time.perf_counter()
     for i in range(1, 1 + passes):
         accum = wavefront.render_pass_host(scene, camera, config, accum, i, base_key)
-    _np.asarray(accum[0])  # force completion via data readback
+    np.asarray(accum[0])  # force completion via data readback
     dt = (time.perf_counter() - t0) / passes
     return rays_per_pass / dt, dt
 
 
-def emit(value: float, note: str):
-    print(json.dumps({
-        "metric": f"rays/sec/chip (fwd, flagship 4spp depth8, {note})",
+def measure_backward(kw, passes: int = 3):
+    """value_and_grad of a pixel loss w.r.t. material params — the
+    differentiable path (fixed-depth scan, masked lanes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracerwithcuda_tpu.ops import rng as rng_mod
+    from pathtracerwithcuda_tpu.render import wavefront
+
+    scene, camera, config = _build(kw)
+    key = rng_mod.pass_key(jax.random.PRNGKey(0), 0)
+    pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+    target = jnp.zeros((config.pixel_count, 3), jnp.float32)
+
+    def loss_fn(materials):
+        sc = scene.replace(materials=materials)
+        rad = wavefront.trace_radiance(sc, camera, config, key, pixel_ids,
+                                       differentiable=True)
+        return jnp.mean(jnp.square(rad - target))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    val, grads = grad_fn(scene.materials)
+    jax.block_until_ready((val, grads))
+    np.asarray(val)
+    # fwd+bwd traces every lane at full depth (scan, no early exit)
+    rays_per_call = config.pixel_count * config.max_tracer_depth
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        val, grads = grad_fn(scene.materials)
+    np.asarray(val)
+    dt = (time.perf_counter() - t0) / passes
+    return rays_per_call / dt, dt
+
+
+def run_worker(name: str) -> None:
+    kw, _ = SUITE[name]
+    fn = measure_backward if kw.get("backward") else measure_forward
+    value, dt = fn(kw)
+    print(json.dumps({"name": name, "value": value, "pass_s": dt}))
+
+
+# --------------------------------------------------------------------------
+# driver: subprocess per config
+# --------------------------------------------------------------------------
+
+
+def _result_line(name: str, value: float, fresh: bool):
+    kind = "fwd+bwd" if SUITE[name][0].get("backward") else "fwd"
+    return {
+        "metric": f"rays/sec/chip ({kind}, {name}{'' if fresh else ', cached'})",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / PER_CHIP_TARGET, 4),
+    }
+
+
+def main() -> None:
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    cache = {}
+    if os.path.exists(CACHE_PATH):
+        try:
+            with open(CACHE_PATH) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+
+    results = {}
+    order = [FLAGSHIP, "cornell_256_4spp_d4", "mesh_bvh_512", "sss_dof_1080p",
+             "fwd_bwd_256"]
+    for name in order:
+        kw, budget = SUITE[name]
+        left = deadline - time.monotonic()
+        if left < 60:
+            print(f"[bench] skipping {name}: out of time budget", file=sys.stderr)
+            continue
+        timeout = min(budget, left)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name],
+                capture_output=True, text=True, timeout=timeout, cwd=ROOT,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                res = json.loads(line)
+                results[name] = {"value": res["value"], "pass_s": res["pass_s"],
+                                 "fresh": True}
+            else:
+                tail = (proc.stderr or "").strip().splitlines()[-3:]
+                print(f"[bench] {name} failed rc={proc.returncode}: {tail}",
+                      file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name} timed out after {timeout:.0f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        # flagship fallback: a fresh subprocess at a smaller frame
+        if name == FLAGSHIP and FLAGSHIP not in results:
+            fb = "flagship_960x544_4spp_d8"
+            fb_timeout = min(SUITE[fb][1], max(60, deadline - time.monotonic()))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker", fb],
+                    capture_output=True, text=True, timeout=fb_timeout, cwd=ROOT,
+                )
+                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+                if proc.returncode == 0 and line.startswith("{"):
+                    res = json.loads(line)
+                    results[fb] = {"value": res["value"], "pass_s": res["pass_s"],
+                                   "fresh": True}
+                else:
+                    print(f"[bench] {fb} failed rc={proc.returncode}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] {fb}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # merge with cache (stale entries kept, marked not fresh)
+    merged = dict(cache)
+    for name, res in results.items():
+        merged[name] = res
+    try:
+        with open(CACHE_PATH, "w") as f:
+            json.dump({k: {**v, "fresh": False} for k, v in merged.items()}, f)
+        with open(SUITE_PATH, "w") as f:
+            json.dump({k: _result_line(k, v["value"], v.get("fresh", False))
+                       for k, v in merged.items()}, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] cache write failed: {e}", file=sys.stderr)
+
+    # per-config JSON lines on stderr for the record
+    for name, res in merged.items():
+        if name == FLAGSHIP:
+            continue
+        print(json.dumps(_result_line(name, res["value"], res.get("fresh", False))),
+              file=sys.stderr)
+
+    # the ONE stdout line: flagship, falling back to smaller frame, then cache
+    for name in (FLAGSHIP, "flagship_960x544_4spp_d8"):
+        if name in merged:
+            print(json.dumps(_result_line(name, merged[name]["value"],
+                                          merged[name].get("fresh", False))))
+            return
+    print(json.dumps({
+        "metric": "rays/sec/chip (fwd, flagship — unavailable: no successful run)",
+        "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
     }))
 
 
-def main():
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(WATCHDOG_SECONDS)
-    configs = [(1920, 1080, "1080p"), (960, 544, "960x544 fallback")]
-    for width, height, note in configs:
-        try:
-            value, dt = measure(width, height, spp=4, depth=8)
-            with open(CACHE_PATH, "w") as f:
-                json.dump({"value": value, "note": note, "pass_s": dt}, f)
-            emit(value, note)
-            return
-        except Timeout:
-            break  # no time left for a smaller attempt
-        except Exception as e:  # noqa: BLE001 — report and try smaller
-            print(f"[bench] {note} failed: {type(e).__name__}: {e}", file=sys.stderr)
-    # fall back to the last successful measurement
-    if os.path.exists(CACHE_PATH):
-        with open(CACHE_PATH) as f:
-            cached = json.load(f)
-        emit(cached["value"], cached["note"] + ", cached")
-    else:
-        emit(0.0, "unavailable: no successful run")
-
-
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        run_worker(sys.argv[2])
+    else:
+        main()

@@ -11,7 +11,7 @@ ANY lane hits.  Measured-on-v5e rules that shape the design:
 * A (1, 128) op costs the same cycle as an (8, 128) op → packets are 8x128 =
   1024 rays (one full VPU register block per ray field).  Packets are 32x32
   pixel tiles (render.wavefront render_order) so primary packets stay
-  coherent; bounced rays should be compacted + sorted by the caller.
+  coherent; bounced rays are compacted + octant-sorted by the caller.
 * One walk serializes on a vector→scalar `any(hit)` round trip per node
   (~240 ns — the VPU pipeline + scalar-unit sync), so the walk kernel
   interleaves CHAINS independent packets; their latencies overlap (~6x).
@@ -20,38 +20,39 @@ ANY lane hits.  Measured-on-v5e rules that shape the design:
 * Node metadata and the leaf lists live in SMEM: scalar loads/stores, no
   vector↔scalar traffic.
 
-**Two phases in one kernel.**  A single fused walk pays the slab AND the
-triangle test on every iteration (each masked off half the time).  Instead,
-per kernel instance:
+**Segmented walk/intersect with best-t feedback.**  A single fused walk pays
+the slab AND the triangle test on every iteration (each masked off half the
+time).  Instead the kernel alternates two phases per packet chain:
 
-1. Walk — traversal only: slab tests against the whole packet, prunes with
-   the caller's seed bound (closest sphere), and appends each leaf-hit's
-   (tri start, count) to the packet's SMEM-scratch list.  No best_t feedback
-   (a strict superset of the pruned visit set — results identical).
-2. Intersect — a `fori` over each packet's leaf list running masked
-   Möller–Trumbore, tri-at-a-time against all 1024 rays.  The loop bound is
-   a scalar carry, so the body has ZERO scalar syncs and pipelines at full
-   VPU throughput.
+1. Walk segment — traversal only: slab tests against the whole packet,
+   pruned by each lane's CURRENT best_t (seeded with the closest sphere,
+   tightened by every intersect segment), appending each leaf-hit's packed
+   (tri start, count) word to the chain's SMEM-scratch list.  The segment
+   ends when the list holds SEG_CAP entries (or the walk finishes).
+2. Intersect segment — a `fori` over the list running masked Möller–Trumbore,
+   tri-at-a-time against all 1024 rays, updating per-lane best_t/best_tri
+   scratch.  The loop bound is a scalar carry, so the body has ZERO scalar
+   syncs and pipelines at full VPU throughput.
+
+The feedback loop is why this beats a collect-everything-then-intersect
+split: after the first segment resolves the near geometry, the tightened
+bounds prune most of the remaining tree.  It also removes the round-1
+overflow hazard by construction — the list is drained every SEG_CAP entries,
+so no leaf set can clamp and no XLA-walk redo pass exists.
 
 Leaf triangles are tested unmasked by per-lane AABB hits: a Möller–Trumbore
 hit with 0 < t < best_t is valid for *every* lane (the hit point lies inside
-the leaf's AABB, so a per-ray walk would have tested that leaf for that lane
-too), which is what makes the phase split sound.
+the leaf's AABB, so a per-ray walk with any not-yet-tighter bound would have
+tested that leaf for that lane too), which is what makes the phase split
+sound and exact (closest hit, same contract as ops.traversal.traverse_bvh).
 
-Capacity: node AABBs / triangles in VMEM (~16 MB), node metadata + leaf lists
-in SMEM (~0.5 MB usable).  Leaf lists are capped at LIST_CAP entries per
-1024-ray packet (~25x the worst union observed at depth-8 1080p); a packet
-that clamps has all its out_tri lanes set to OVERFLOW_TRI — pass
-with_overflow=True to detect and re-run that wavefront on the exact XLA walk.
-The wavefront falls back to the XLA walk when tables don't fit, on CPU, or
-for scenes without a BVH.
+Capacity: node AABBs / triangles in VMEM (~16 MB); node metadata (2 words:
+skip link + packed start*64+count) and the SEG_CAP-entry lists in SMEM.
+leaf_k (max triangles per leaf) must be <= 63 for the packed encoding.
 
 Each wavefront is dispatched in CHUNK_PACKETS-sized pieces so every call
 compiles the SAME pallas executable; see render.wavefront for why the kernel
 must additionally stay out of shape-varying XLA programs entirely.
-
-Same results contract as ops.traversal.traverse_bvh: closest triangle
-strictly beating min_t0, (tri_index, t), -1/inf on miss.
 """
 
 from __future__ import annotations
@@ -66,10 +67,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 ROWS = 8                     # sublane rows per packet
 PACKET = ROWS * LANES        # rays per packet (one full VPU register block)
-CHAINS = 16                   # interleaved walks per kernel instance
+CHAINS = 16                  # interleaved walks per kernel instance
 CHUNK_PACKETS = 128          # packets per pallas dispatch (131072 rays)
-LIST_CAP = 3072              # leaf-list entries per packet (SMEM scratch)
-OVERFLOW_TRI = -2            # whole-packet marker: leaf list clamped
+SEG_CAP = 256                # leaf-list entries per walk segment (SMEM)
+MAX_LEAF_K = 63              # packed start*64+count encoding
 INF = jnp.float32(jnp.inf)
 
 # a padded/dead ray parks far outside any scene AABB so its packet-side slab
@@ -146,99 +147,100 @@ def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
 
 
 # --------------------------------------------------------------------------
-# fused walk + intersect kernel
+# segmented walk + intersect kernel
 # --------------------------------------------------------------------------
 
 
 def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
-            out_tri_ref, list_ref, *, num_nodes: int, chains: int,
-            leaf_k: int):
-    """`chains` interleaved packet walks, then per-packet leaf intersection.
+            out_tri_ref, list_ref, bt_ref, btri_ref, *, num_nodes: int,
+            chains: int, leaf_k: int):
+    """`chains` interleaved packet walks alternating with leaf intersection.
 
-    Two phases inside one kernel instance (an SMEM-space array crossing a
-    pallas_call boundary trips a backend bug on re-execution, so the leaf
-    lists live in SMEM *scratch*):
-
-    1. Walk: slab-test nodes against whole packets, prune with the caller's
-       seed bound, append each leaf hit's packed (start*16+count) to the
-       chain's scratch list.  The walk has one vector->scalar `any` sync per
-       visit; `chains` independent walks overlap those latencies.
-    2. Intersect: per chain, a fori over its list running masked
-       Möller–Trumbore tri-at-a-time against all 1024 rays.  The loop bound
-       is a scalar carry — the body has zero scalar syncs and pipelines at
-       full VPU throughput.
-
-    meta_ref (SMEM, 3N i32): [3n]=skip link, [3n+1]=tri start, [3n+2]=count.
+    meta_ref (SMEM, 2N i32): [2n]=skip link, [2n+1]=tri start*64 + count.
     ray_ref  (C, 7, 8, 128): fields 0-2 origin, 3-5 inverse direction,
-                             6 seed bound.
+                             6 seed bound (closest sphere; 0 = dead lane).
     dir_ref  (C, 3, 8, 128): fields 0-2 direction.
     nbox_ref (NT, 8, 128) f32: AABB field q of node t*128+l (q: 0-2 min,
                              3-5 max).
-    tri_ref  (TT, 16, 128) f32: q=0-8 -> v0.xyz v1.xyz v2.xyz.
-    list_ref (SMEM scratch, (C, LIST_CAP) i32).
-
-    A packet whose list clamps at LIST_CAP gets all its out_tri lanes set to
-    OVERFLOW_TRI so the caller can detect and re-run on the exact XLA walk.
+    list_ref (SMEM scratch, (C, SEG_CAP) i32): per-chain packed leaf words.
+    bt_ref / btri_ref (VMEM scratch, (C, 8, 128)): running best_t / best_tri,
+                             read by the walk's slab prune every visit.
     """
     nn = jnp.int32(num_nodes)
     os_ = [[ray_ref[i, f] for f in range(3)] for i in range(chains)]
     invs = [[ray_ref[i, 3 + f] for f in range(3)] for i in range(chains)]
-    bounds = [ray_ref[i, 6] for i in range(chains)]
-
-    def cond(c):
-        alive = c[0] < nn
-        for i in range(1, chains):
-            alive = alive | (c[i] < nn)
-        return alive
-
-    def body(c):
-        poss = list(c[:chains])
-        curs = list(c[chains:])
-        for i in range(chains):
-            pos, cur = poss[i], curs[i]
-            done = pos >= nn
-            node = jnp.minimum(pos, nn - 1)
-            box6 = _extract_fields(nbox_ref[node // LANES],
-                                   jax.lax.rem(node, LANES), 6)
-            lane_hit = _slab(box6, os_[i], invs[i], bounds[i])
-            any_hit = jnp.any(lane_hit) & ~done
-            nxt = meta_ref[3 * node]
-            start = meta_ref[3 * node + 1]
-            count = meta_ref[3 * node + 2]
-            is_leaf_hit = any_hit & (count > 0)
-            # unconditional store: non-leaf iterations write garbage at the
-            # cursor, overwritten by the next leaf hit / never read
-            list_ref[i, jnp.minimum(cur, LIST_CAP - 1)] = start * 16 + count
-            curs[i] = cur + jnp.where(is_leaf_hit, 1, 0)
-            poss[i] = jnp.where(done, pos, jnp.where(any_hit, pos + 1, nxt))
-        return tuple(poss) + tuple(curs)
-
-    init = tuple(jnp.int32(0) for _ in range(2 * chains))
-    walked = jax.lax.while_loop(cond, body, init)
 
     for i in range(chains):
-        d = [dir_ref[i, f] for f in range(3)]
-        best_t0 = ray_ref[i, 6]
-        best_tri0 = jnp.full((ROWS, LANES), -1, jnp.int32)
-        n_raw = walked[chains + i]
-        n = jnp.minimum(n_raw, LIST_CAP)
+        bt_ref[i] = ray_ref[i, 6]
+        btri_ref[i] = jnp.full((ROWS, LANES), -1, jnp.int32)
 
-        def mt_body(l, carry, i=i, d=d):
-            best_t, best_tri = carry
-            packed = list_ref[i, l]
-            start = packed // 16
-            count = packed - start * 16
-            for k in range(leaf_k):
-                best_t, best_tri = _moller_trumbore_one(
-                    tri_ref, start + k, k < count, best_t, best_tri,
-                    os_[i], d)
-            return best_t, best_tri
+    def outer_cond(poss):
+        alive = poss[0] < nn
+        for i in range(1, chains):
+            alive = alive | (poss[i] < nn)
+        return alive
 
-        best_t, best_tri = jax.lax.fori_loop(0, n, mt_body,
-                                             (best_t0, best_tri0))
-        best_tri = jnp.where(n_raw > LIST_CAP, OVERFLOW_TRI, best_tri)
-        out_t_ref[i] = best_t
-        out_tri_ref[i] = best_tri
+    def outer_body(poss):
+        # ---- walk segment: advance every unfinished chain until its leaf
+        # list holds SEG_CAP entries (or its walk completes)
+        def wcond(c):
+            alive = (c[0] < nn) & (c[chains] < SEG_CAP)
+            for i in range(1, chains):
+                alive = alive | ((c[i] < nn) & (c[chains + i] < SEG_CAP))
+            return alive
+
+        def wbody(c):
+            ps = list(c[:chains])
+            cs = list(c[chains:])
+            for i in range(chains):
+                pos, cur = ps[i], cs[i]
+                step = (pos < nn) & (cur < SEG_CAP)
+                node = jnp.minimum(pos, nn - 1)
+                box6 = _extract_fields(nbox_ref[node // LANES],
+                                       jax.lax.rem(node, LANES), 6)
+                lane_hit = _slab(box6, os_[i], invs[i], bt_ref[i])
+                any_hit = jnp.any(lane_hit) & step
+                nxt = meta_ref[2 * node]
+                packed = meta_ref[2 * node + 1]
+                count = jax.lax.rem(packed, 64)
+                is_leaf_hit = any_hit & (count > 0)
+                # unconditional store: non-leaf iterations write garbage at
+                # the cursor, overwritten by the next leaf hit / never read
+                list_ref[i, jnp.minimum(cur, SEG_CAP - 1)] = packed
+                cs[i] = cur + jnp.where(is_leaf_hit, 1, 0)
+                ps[i] = jnp.where(step, jnp.where(any_hit, pos + 1, nxt), pos)
+            return tuple(ps) + tuple(cs)
+
+        init = tuple(poss) + tuple(jnp.int32(0) for _ in range(chains))
+        walked = jax.lax.while_loop(wcond, wbody, init)
+
+        # ---- intersect segment: drain each chain's list, tighten best_t
+        for i in range(chains):
+            d = [dir_ref[i, f] for f in range(3)]
+            n = walked[chains + i]
+
+            def mt_body(l, carry, i=i, d=d):
+                best_t, best_tri = carry
+                packed = list_ref[i, l]
+                start = packed // 64
+                count = packed - start * 64
+                for k in range(leaf_k):
+                    best_t, best_tri = _moller_trumbore_one(
+                        tri_ref, start + k, k < count, best_t, best_tri,
+                        os_[i], d)
+                return best_t, best_tri
+
+            best_t, best_tri = jax.lax.fori_loop(
+                0, n, mt_body, (bt_ref[i], btri_ref[i]))
+            bt_ref[i] = best_t
+            btri_ref[i] = best_tri
+        return walked[:chains]
+
+    jax.lax.while_loop(outer_cond, outer_body,
+                       tuple(jnp.int32(0) for _ in range(chains)))
+    for i in range(chains):
+        out_t_ref[i] = bt_ref[i]
+        out_tri_ref[i] = btri_ref[i]
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "leaf_k", "chains",
@@ -273,7 +275,11 @@ def _run(rays, dirs, nbox, meta, tris, num_nodes: int, leaf_k: int,
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((chains, LIST_CAP), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((chains, SEG_CAP), jnp.int32),
+            pltpu.VMEM((chains, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((chains, ROWS, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(meta, rays, dirs, nbox, tris)
     return out_t, out_tri
@@ -288,9 +294,11 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
                       bvh_tri_count, tri_v0, tri_v1, tri_v2, leaf_k: int):
     """Device-side packing into the kernel table layouts.
 
-    Returns (nbox VMEM f32 (NT,8,128), meta SMEM i32 (3N,),
+    Returns (nbox VMEM f32 (NT,8,128), meta SMEM i32 (2N,),
     tris VMEM f32 (TT,16,128)).
     """
+    if leaf_k > MAX_LEAF_K:
+        raise ValueError(f"leaf_k {leaf_k} > {MAX_LEAF_K} (packed encoding)")
     n = bvh_min.shape[0]
     t = tri_v0.shape[0]
     n_pad = _round_up(max(n, 1), LANES)
@@ -301,11 +309,10 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
     nbox = nbox.at[3:6, :n].set(bvh_max.T)
     nbox = nbox.reshape(8, n_pad // LANES, LANES).transpose(1, 0, 2)
 
-    meta = jnp.zeros((3, n), jnp.int32)
+    meta = jnp.zeros((2, n), jnp.int32)
     meta = meta.at[0, :].set(bvh_next)
-    meta = meta.at[1, :].set(jnp.maximum(bvh_tri_start, 0))
-    meta = meta.at[2, :].set(bvh_tri_count)
-    meta = meta.T.reshape(3 * n)
+    meta = meta.at[1, :].set(jnp.maximum(bvh_tri_start, 0) * 64 + bvh_tri_count)
+    meta = meta.T.reshape(2 * n)
 
     tris = jnp.zeros((16, t_pad), jnp.float32)
     tris = tris.at[0:3, :t].set(tri_v0.T)
@@ -316,31 +323,28 @@ def pack_scene_tables(bvh_min, bvh_max, bvh_next, bvh_tri_start,
 
 
 def vmem_table_bytes(num_nodes: int, num_tris: int, leaf_k: int) -> int:
-    """VMEM footprint of the scene tables (node boxes + triangles — the two
-    phases each load only one, but budget for the larger program)."""
+    """VMEM footprint of the scene tables (node boxes + triangles) plus the
+    per-chain best_t/best_tri scratch."""
     n_pad = _round_up(max(num_nodes, 1), LANES)
     t_pad = _round_up(num_tris + leaf_k, LANES)
-    return 8 * n_pad * 4 + 16 * t_pad * 4
+    return 8 * n_pad * 4 + 16 * t_pad * 4 + 2 * CHAINS * PACKET * 4
 
 
 def smem_meta_bytes(num_nodes: int) -> int:
-    """SMEM footprint: node metadata + per-chain leaf lists."""
-    return 3 * max(num_nodes, 1) * 4 + CHAINS * (LIST_CAP + 1) * 4
+    """SMEM footprint: node metadata + per-chain segment lists."""
+    return 2 * max(num_nodes, 1) * 4 + CHAINS * SEG_CAP * 4
 
 
 def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
                          bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
                          min_t0=None, *, leaf_k: int, chains: int = CHAINS,
-                         interpret: bool = False, with_overflow: bool = False):
+                         interpret: bool = False):
     """Drop-in packet-kernel analog of ops.traversal.traverse_bvh.
 
     origin/direction (P, 3); P padded to a multiple of 1024*chains internally.
-    leaf_k: static max triangles per leaf (SceneData.leaf_size; must be <= 15
-    for the packed start*16+count list encoding).
-    Returns (tri_index, t) with -1/inf for no triangle beating min_t0; with
-    with_overflow=True returns (tri_index, t, overflowed) where `overflowed`
-    is a scalar bool — True means a packet's leaf list clamped at LIST_CAP and
-    the caller should re-run this wavefront on the exact XLA walk.
+    leaf_k: static max triangles per leaf (SceneData.leaf_size; must be <= 63
+    for the packed start*64+count encoding).
+    Returns (tri_index, t) with -1/inf for no triangle beating min_t0.
     """
     p = origin.shape[0]
     num_nodes = bvh_min.shape[0]
@@ -352,8 +356,7 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
         min_t0 = jax.lax.stop_gradient(min_t0)
 
     if num_nodes == 0:
-        empty = jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
-        return (*empty, jnp.asarray(False)) if with_overflow else empty
+        return jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
 
     # Fixed-size chunks: every wavefront size runs the SAME pallas executable
     # (same grid, same block shapes).  Two differently-shaped instances of
@@ -395,10 +398,7 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     ]
     out_t = jnp.concatenate([o[0] for o in outs], axis=0)
     out_tri = jnp.concatenate([o[1] for o in outs], axis=0)
-    overflow = jnp.any(out_tri == OVERFLOW_TRI)
     best_t = out_t.reshape(p_pad)[:p]
-    best_tri = jnp.maximum(out_tri.reshape(p_pad)[:p], -1)
+    best_tri = out_tri.reshape(p_pad)[:p]
     best_t = jnp.where(best_tri >= 0, best_t, INF)
-    if with_overflow:
-        return best_tri, best_t, overflow
     return best_tri, best_t

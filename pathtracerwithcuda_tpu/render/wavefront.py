@@ -159,12 +159,14 @@ def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
     if not config.use_pallas or jax.default_backend() != "tpu":
         return False
     from pathtracerwithcuda_tpu.ops.traversal_pallas import (
+        MAX_LEAF_K,
         smem_meta_bytes,
         vmem_table_bytes,
     )
 
     return (
-        vmem_table_bytes(scene.num_bvh_nodes, scene.num_triangles, scene.leaf_size)
+        scene.leaf_size <= MAX_LEAF_K
+        and vmem_table_bytes(scene.num_bvh_nodes, scene.num_triangles, scene.leaf_size)
         < _PALLAS_VMEM_BUDGET
         and smem_meta_bytes(scene.num_bvh_nodes) < _PALLAS_SMEM_BUDGET
     )
@@ -553,12 +555,11 @@ def _traverse_fixed_jit(origin, direction, bound, bvh_min, bvh_max, bvh_next,
                         leaf_k: int):
     from pathtracerwithcuda_tpu.ops.traversal_pallas import traverse_bvh_packets
 
-    tri, _, overflow = traverse_bvh_packets(
+    tri, _ = traverse_bvh_packets(
         origin, direction, bvh_min, bvh_max, bvh_next, bvh_tri_start,
         bvh_tri_count, tri_v0, tri_v1, tri_v2, bound, leaf_k=leaf_k,
-        with_overflow=True,
     )
-    return tri, overflow
+    return tri
 
 
 @functools.partial(jax.jit, static_argnames=("p_fixed",))
@@ -618,22 +619,36 @@ def _bucket_for(count: int, cur: int, ladder) -> int:
 def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
                 out_size: int):
     """Flush lane radiance into the full-res buffer, then compact the active
-    lanes into a dense wavefront of `out_size` lanes.
+    lanes into a dense wavefront of `out_size` lanes, grouped by direction
+    octant.
 
     This is the TPU answer to the reference's thrust::remove_if compaction
     (Kernel/parallel_function.cu:42-49), with shapes static per bucket size.
-    Compaction is ORDER-PRESERVING (cumsum-based nonzero), so the packet
-    coherence of the 32x32-tile render order survives; an explicit
-    (octant, morton) re-sort was tried and costs more than it saves — XLA's
-    TPU sort runs ~1 s on a 2M-lane wavefront while the coherence win on the
-    traversal is a few hundred ms.
+    Compaction is a STABLE counting sort on the 3-bit direction octant
+    (dead lanes sort to a 9th trailing bucket): within an octant the previous
+    lane order — 32x32-pixel-tile order for primaries — survives, so packets
+    entering the Pallas traversal hold rays that start near each other AND
+    point the same way.  A full (octant, morton) lax.sort was tried and costs
+    more than it saves (~1 s on a 2M-lane wavefront); the cumsum-based
+    counting sort is a few ms and captures most of the coherence win.
 
     Padded rows duplicate lane 0; they are force-deactivated (and restart
     with zero radiance), so they trace nothing and flush nothing.
     """
     radiance_full = radiance_full.at[live_ids].add(state.radiance)
     act = state.active
-    sel = jnp.nonzero(act, size=out_size, fill_value=0)[0]
+    p = act.shape[0]
+    d = state.direction
+    octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(jnp.int32)
+    key = jnp.where(act, octant, 8)
+    onehot = (key[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]).astype(jnp.int32)
+    ranks = jnp.cumsum(onehot, axis=0)  # (P, 9) 1-based rank within bucket
+    counts = ranks[-1]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    dest = offsets[key] + jnp.take_along_axis(ranks, key[:, None], axis=1)[:, 0] - 1
+    perm = jnp.zeros((p,), jnp.int32).at[dest].set(jnp.arange(p, dtype=jnp.int32))
+    sel = perm[:out_size]
     valid = jnp.arange(out_size) < jnp.sum(act)
     new_state = RayState(
         origin=state.origin[sel],
@@ -681,22 +696,17 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     radiance_full = jnp.zeros((p, 3), jnp.float32)
     cur = p
     count = p
-    overflow_acc = None
-    pixel_ids0 = pixel_ids
     segments, sizes = [], []
     for depth in range(config.max_tracer_depth):
         segments.append(count)
         sizes.append(cur)
         if use_packets:
             o, d, b = _pad_rays_jit(state, scene, p_fixed)
-            tri_full, overflow = _traverse_fixed_jit(
+            tri_full = _traverse_fixed_jit(
                 o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
                 scene.bvh_tri_start, scene.bvh_tri_count,
                 scene.tri_v0, scene.tri_v1, scene.tri_v2,
                 leaf_k=scene.leaf_size)
-            # overflow (leaf list clamped) is checked ONCE per trace below —
-            # a per-bounce bool() would cost a ~27 ms host round trip each
-            overflow_acc = overflow if overflow_acc is None else (overflow_acc | overflow)
             state, alive = _bounce_with_tri_jit(
                 state, scene, config, key, depth, pixel_ids, tri_full)
         else:
@@ -706,22 +716,17 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         if count == 0:
             break
         if depth < config.max_tracer_depth - 1:
+            # repack EVERY bounce: even when the wavefront doesn't shrink a
+            # ladder step, the octant counting sort inside _repack_jit makes
+            # the next bounce's packets directionally coherent — worth far
+            # more on the packet traversal than the repack costs
             bucket = _bucket_for(count, cur, ladder)
-            if bucket < cur:
-                state, pixel_ids, live_ids, radiance_full = _repack_jit(
-                    state, pixel_ids, live_ids, radiance_full, bucket)
-                cur = bucket
+            state, pixel_ids, live_ids, radiance_full = _repack_jit(
+                state, pixel_ids, live_ids, radiance_full, bucket)
+            cur = bucket
     if stats is not None:
         stats["segments"] = segments
         stats["wavefront"] = sizes
-    if overflow_acc is not None and bool(overflow_acc):
-        # pathological wavefront clamped a leaf list at some bounce: redo the
-        # whole trace on the exact XLA walk (rare; correctness over speed)
-        import dataclasses
-
-        cfg_xla = dataclasses.replace(config, use_pallas=False)
-        return trace_radiance_host(scene, camera, cfg_xla, key, pixel_ids0,
-                                   stats=stats)
     return _flush_jit(radiance_full, live_ids, state.radiance)
 
 

@@ -112,6 +112,60 @@ def cornell_spheres_scene():
     return host
 
 
+def cornell_camera(width, height):
+    return RenderCamera.create(
+        eye=(0.0, 1.0, 9.0), view=(0.0, 0.0, -1.0), up=(0.0, 1.0, 0.0),
+        width=width, height=height, fov_x_deg=45.0,
+        aperture_radius=0.0, focal_distance=9.0,
+    )
+
+
+def cornell_config(width=256, height=256, **kw) -> RenderConfig:
+    defaults = dict(width=width, height=height, max_tracer_depth=4,
+                    use_sky_box=False, use_sky=False, spp_per_pass=4)
+    defaults.update(kw)
+    return RenderConfig(**defaults)
+
+
+def sss_dof_scene(seg_u=128, seg_v=96):
+    """BASELINE config-4 class: subsurface-scattering marble torus + jade
+    sphere under an area light, rendered with thin-lens depth of field."""
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["wall_white"], mats["light"], mats["marble"],
+                      mats["something_blue"]]
+    host.meshes = [
+        HostMesh.from_shapes([_quad(0.0, 12.0)], [0], (0, 0, 0), (1, 1, 1), (0, 0, 0)),
+        HostMesh.from_shapes(
+            [_quad(9.0, 2.5, normal_up=False)], [1], (0, 0, 0), (1, 1, 1), (0, 0, 0)
+        ),
+        HostMesh.from_shapes(
+            [torus_mesh(1.6, 0.55, seg_u, seg_v)], [2],
+            (0.0, 1.4, 0.0), (1, 1, 1), (25.0, 0.0, 15.0),
+        ),
+    ]
+    host.sphere_centers = np.array([[2.8, 1.0, 2.2]], np.float32)
+    host.sphere_radii = np.array([1.0], np.float32)
+    host.sphere_material_ids = np.array([3], np.int32)
+    return host
+
+
+def sss_dof_camera(width, height):
+    return RenderCamera.create(
+        eye=(0.0, 4.5, 9.5), view=(0.0, -0.35, -0.94), up=(0.0, 1.0, 0.0),
+        width=width, height=height, fov_x_deg=45.0,
+        aperture_radius=0.35, focal_distance=10.0,
+    )
+
+
+def sss_dof_config(width=1920, height=1080, **kw) -> RenderConfig:
+    defaults = dict(width=width, height=height, max_tracer_depth=8,
+                    use_sky_box=False, use_sky=True, spp_per_pass=4,
+                    bvh_leaf_node_triangle_num=8)
+    defaults.update(kw)
+    return RenderConfig(**defaults)
+
+
 def flagship_scene(seg_u=192, seg_v=172):
     """The benchmark scene: a ~66k-triangle GGX gold torus over a textured
     checker floor, a glass sphere, an area light, a procedural environment.
