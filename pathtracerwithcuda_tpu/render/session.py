@@ -36,8 +36,13 @@ class RenderSession:
         self.camera = camera or ViewCamera()
         self.camera.set_resolution(config.width, config.height)
         self.camera.set_fov(config.fov)
+        # per-mesh array ranges + build-time transforms, for O(n) refit edits
+        # (empty when a prebuilt scene_data is injected → edits fall back to
+        # a full rebuild)
+        self.layout: list = []
         self.scene: SceneData = (
-            scene_data if scene_data is not None else build_scene_data(host_scene, config)
+            scene_data if scene_data is not None
+            else build_scene_data(host_scene, config, layout_out=self.layout)
         )
         self.base_key = jax.random.PRNGKey(seed)
         self.accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
@@ -119,12 +124,24 @@ class RenderSession:
         self._rebuild()
 
     def set_mesh_transform(self, mesh_index: int, position=None, scale=None):
+        """Translate/scale edit: O(n) triangle re-transform + BVH AABB refit,
+        no rebuild — the reference fast path (set_mesh_transform_device,
+        Core/triangle_mesh.cpp:271-328 + update_bvh, Bvh/bvh.cpp:332-356).
+        Rotation is the rebuild path (set_mesh_rotate)."""
+        from pathtracerwithcuda_tpu.scene.build import apply_mesh_transform
+
         mesh = self.host_scene.meshes[mesh_index]
         if position is not None:
             mesh.position = np.asarray(position, np.float32)
         if scale is not None:
             mesh.scale = np.asarray(scale, np.float32)
-        self._rebuild()
+        if mesh_index < len(self.layout):
+            self.scene = apply_mesh_transform(
+                self.scene, self.layout[mesh_index], mesh.position, mesh.scale
+            )
+            self.clear()
+        else:  # prebuilt scene_data without layout info
+            self._rebuild()
 
     def set_mesh_rotate(self, mesh_index: int, rotate):
         """Rotation edits re-bake vertices and rebuild (reference
@@ -144,7 +161,8 @@ class RenderSession:
         self._rebuild()
 
     def _rebuild(self):
-        self.scene = build_scene_data(self.host_scene, self.config)
+        self.scene = build_scene_data(self.host_scene, self.config,
+                                      layout_out=self.layout)
         self.clear()
 
     # ------------------------------------------------------------------

@@ -15,9 +15,11 @@ Mirrors the reference's scene → device pipeline
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,8 +124,24 @@ class HostScene:
         )
 
 
-def _build_mesh_bvh(v: np.ndarray, leaf_size: int, num_buckets: int):
-    """SAH build + leaf-contiguous permutation; C++ fast path when built."""
+def _build_mesh_bvh(v: np.ndarray, leaf_size: int, num_buckets: int,
+                    method: "BvhBuildMethod" = None):
+    """BVH build + leaf-contiguous permutation.
+
+    Dispatches on config.bvh_build (reference auto_build_bvh macros,
+    Bvh/bvh.h:28-49): SAH = host bucketed-SAH builder (C++ fast path when
+    built), LBVH = the jittable Morton/Karras builder (build_lbvh) whose
+    leaves are the Morton-sorted triangles (leaf-contiguous, K = 1).
+    """
+    from pathtracerwithcuda_tpu.config import BvhBuildMethod
+
+    if method == BvhBuildMethod.LBVH:
+        from pathtracerwithcuda_tpu.bvh.build_lbvh import build_lbvh, lbvh_to_flat
+
+        lo = v.min(axis=1)
+        hi = v.max(axis=1)
+        result = build_lbvh(jnp.asarray(lo), jnp.asarray(hi), v.shape[0])
+        return lbvh_to_flat(result), np.asarray(result["order"], np.int64)
     try:
         from pathtracerwithcuda_tpu.native import native_available, native_build_sah
 
@@ -139,8 +157,28 @@ def _build_mesh_bvh(v: np.ndarray, leaf_size: int, num_buckets: int):
     return permute_leaf_contiguous(bvh)
 
 
-def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
-    """Assemble device arrays + BVH (reference create_scene_data_device)."""
+@dataclasses.dataclass
+class MeshLayout:
+    """Where one mesh's triangles/BVH nodes landed in the concatenated
+    SceneData arrays, plus the transform they were built at — what
+    refit-style live edits need (reference dual-copy scheme,
+    Bvh/bvh.cpp:326-356)."""
+
+    tri_start: int
+    tri_count: int
+    node_start: int
+    node_count: int
+    position: np.ndarray  # (3,) world transform at build time
+    scale: np.ndarray  # (3,)
+
+
+def build_scene_data(host: HostScene, config: RenderConfig,
+                     layout_out: "Optional[list]" = None) -> SceneData:
+    """Assemble device arrays + BVH (reference create_scene_data_device).
+
+    `layout_out`, if given, is filled with one MeshLayout per mesh (cleared
+    first) so callers can apply O(n) refit edits later (render.session).
+    """
     # triangles: concatenate all meshes in world space
     tri_v = np.zeros((0, 3, 3), np.float32)
     tri_n = np.zeros((0, 3, 3), np.float32)
@@ -148,6 +186,7 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
     tri_mat = np.zeros((0,), np.int32)
     bvhs: list = []
     tri_offsets: list = []
+    node_counts: list = []
     cursor = 0
     for mesh in host.meshes:
         v, n = mesh.world_triangles()
@@ -155,6 +194,7 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
             v,
             leaf_size=max(1, config.bvh_leaf_node_triangle_num),
             num_buckets=config.bvh_bucket_max_divide_internal_num,
+            method=config.bvh_build,
         )
         tri_v = np.concatenate([tri_v, v[perm]], axis=0)
         tri_n = np.concatenate([tri_n, n[perm]], axis=0)
@@ -163,8 +203,26 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
         tri_offsets.append(cursor)
         cursor += v.shape[0]
         bvhs.append(bvh)
+        node_counts.append(bvh.num_nodes)
 
     total_tris = tri_v.shape[0]
+    if layout_out is not None:
+        layout_out.clear()
+        node_cursor = 0
+        for mesh, tri_off, n_nodes in zip(host.meshes, tri_offsets, node_counts):
+            if total_tris <= BRUTE_FORCE_MAX_TRIS:
+                n_start, n_count = 0, 0  # no BVH in the brute-force regime
+            else:
+                n_start, n_count = node_cursor, n_nodes
+            layout_out.append(MeshLayout(
+                tri_start=tri_off,
+                tri_count=mesh.vertices.shape[0],
+                node_start=n_start,
+                node_count=n_count,
+                position=mesh.position.copy(),
+                scale=mesh.scale.copy(),
+            ))
+            node_cursor += n_nodes
     if total_tris <= BRUTE_FORCE_MAX_TRIS:
         flat = FlatBVH.empty()  # 0/1-node bvh → wavefront picks brute force
     else:
@@ -199,3 +257,57 @@ def build_scene_data(host: HostScene, config: RenderConfig) -> SceneData:
         textures=TextureAtlas.pack(host.textures),
         env_faces=jnp.asarray(env),
     )
+
+
+# --------------------------------------------------------------------------
+# O(n) refit under translate/scale edits
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t0", "tc", "n0", "nc"))
+def _refit_slices_jit(scene: SceneData, ratio, shift,
+                      t0: int, tc: int, n0: int, nc: int) -> SceneData:
+    """Apply the delta affine x -> ratio*x + shift to one mesh's triangle and
+    BVH-node rows.  Exact for a diagonal affine: an axis-aligned box maps to
+    an axis-aligned box, so this equals the reference's 8-corner refit
+    (Bvh/bvh.cpp:332-356) with no hull slack."""
+    def tr(v):
+        return v.at[t0:t0 + tc].set(v[t0:t0 + tc] * ratio + shift)
+
+    def trn(n):
+        m = n[t0:t0 + tc] / ratio
+        m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+        return n.at[t0:t0 + tc].set(m)
+
+    updates = dict(
+        tri_v0=tr(scene.tri_v0), tri_v1=tr(scene.tri_v1), tri_v2=tr(scene.tri_v2),
+        tri_n0=trn(scene.tri_n0), tri_n1=trn(scene.tri_n1), tri_n2=trn(scene.tri_n2),
+    )
+    if nc > 0:
+        a = scene.bvh_min[n0:n0 + nc] * ratio + shift
+        b = scene.bvh_max[n0:n0 + nc] * ratio + shift
+        updates["bvh_min"] = scene.bvh_min.at[n0:n0 + nc].set(jnp.minimum(a, b))
+        updates["bvh_max"] = scene.bvh_max.at[n0:n0 + nc].set(jnp.maximum(a, b))
+    return scene.replace(**updates)
+
+
+def apply_mesh_transform(scene: SceneData, entry: MeshLayout,
+                         position=None, scale=None) -> SceneData:
+    """Refit one mesh to a new Position/Scale without rebuilding its BVH —
+    the reference's translate/scale fast path (set_mesh_transform_device,
+    Core/triangle_mesh.cpp:271-328 + update_bvh).  Rotation edits rebuild
+    instead (render.session.set_mesh_rotate).  Updates `entry` in place to
+    the new transform."""
+    new_p = np.asarray(position if position is not None else entry.position,
+                       np.float32)
+    new_s = np.asarray(scale if scale is not None else entry.scale, np.float32)
+    old_s = np.where(entry.scale == 0.0, 1e-20, entry.scale)
+    ratio = (new_s / old_s).astype(np.float32)
+    shift = (new_p - ratio * entry.position).astype(np.float32)
+    scene = _refit_slices_jit(
+        scene, jnp.asarray(ratio), jnp.asarray(shift),
+        entry.tri_start, entry.tri_count, entry.node_start, entry.node_count,
+    )
+    entry.position = new_p.copy()
+    entry.scale = new_s.copy()
+    return scene

@@ -215,3 +215,95 @@ def test_sss_medium():
     config = RenderConfig(width=14, height=10, max_tracer_depth=6,
                           use_sky_box=False, use_sky=True)
     _compare(host, config, frac=0.08)  # long chaotic walks → more boundary pixels
+
+
+def test_textured_skybox_matches_oracle():
+    """Integrator-path coverage of textures AND the cube-map background
+    (bounce_step's sample_atlas + skybox branches, reference
+    Kernel/path_tracer_kernel.cu:518-526 + :618-624): a checker-textured
+    floor mesh under a gradient environment map."""
+    from pathtracerwithcuda_tpu.scene.examples import checker_texture, gradient_env
+    from pathtracerwithcuda_tpu.scene.obj_loader import ObjShape
+
+    mats = builtin_materials()
+    host = HostScene.empty()
+    floor_mat = dict(mats["wall_white"])
+    floor_mat["diffuse_texture_id"] = 0
+    floor_mat["specular_texture_id"] = 1
+    host.materials = [floor_mat, dict(mats["glass"])]
+
+    half = 6.0
+    v = np.array(
+        [
+            [[-half, -1.0, -half], [half, -1.0, -half], [half, -1.0, half]],
+            [[-half, -1.0, -half], [half, -1.0, half], [-half, -1.0, half]],
+        ],
+        np.float32,
+    )
+    n = np.zeros_like(v)
+    n[..., 1] = 1.0
+    uv = np.array(
+        [
+            [[0, 0], [4, 0], [4, 4]],
+            [[0, 0], [4, 4], [0, 4]],  # uv > 1 exercises wrap
+        ],
+        np.float32,
+    )
+    floor = ObjShape("floor", v, n, uv)
+    # glass cube: refraction through MESH geometry (not spheres)
+    import os
+
+    cube_path = os.path.join(os.path.dirname(__file__), "..", "assets", "obj",
+                             "cube.obj")
+    from pathtracerwithcuda_tpu.scene.obj_loader import load_obj_python
+
+    cube = load_obj_python(cube_path)
+    host.meshes = [
+        HostMesh.from_shapes([floor], [0], (0, 0, 0), (1, 1, 1), (0, 0, 0)),
+        HostMesh.from_shapes(cube, [1], (0.0, 0.2, 0.0), (0.9, 0.9, 0.9),
+                             (0, 30, 0)),
+    ]
+    host.textures = [checker_texture(16), np.full((8, 8, 3), 0.9, np.float32)]
+    host.env_faces = gradient_env(16)
+
+    config = RenderConfig(width=24, height=18, max_tracer_depth=5,
+                          use_sky_box=True, use_sky=False, use_bilinear=True)
+    scene = build_scene_data(host, config)
+    assert scene.textures.count == 2 and bool(scene.has_env_map)
+    _compare(host, config, frac=0.05)
+
+
+def test_textured_nearest_no_bilinear():
+    """Same texture machinery with nearest-neighbour sampling
+    (config.use_bilinear=False, reference Core/texture.h:22-40)."""
+    from pathtracerwithcuda_tpu.scene.examples import checker_texture
+    from pathtracerwithcuda_tpu.scene.obj_loader import ObjShape
+
+    mats = builtin_materials()
+    host = HostScene.empty()
+    floor_mat = dict(mats["wall_white"])
+    floor_mat["diffuse_texture_id"] = 0
+    host.materials = [floor_mat, dict(mats["light"])]
+    v = np.array(
+        [
+            [[-5.0, -1.0, -5.0], [5.0, -1.0, -5.0], [5.0, -1.0, 5.0]],
+            [[-5.0, -1.0, -5.0], [5.0, -1.0, 5.0], [-5.0, -1.0, 5.0]],
+        ],
+        np.float32,
+    )
+    n = np.zeros_like(v)
+    n[..., 1] = 1.0
+    uv = np.array(
+        [[[0, 0], [2, 0], [2, 2]], [[0, 0], [2, 2], [0, 2]]], np.float32
+    )
+    host.meshes = [
+        HostMesh.from_shapes([ObjShape("floor", v, n, uv)], [0],
+                             (0, 0, 0), (1, 1, 1), (0, 0, 0)),
+    ]
+    host.sphere_centers = np.array([[0.0, 6.0, 0.0]], np.float32)
+    host.sphere_radii = np.array([2.0], np.float32)
+    host.sphere_material_ids = np.array([1], np.int32)
+    host.textures = [checker_texture(8)]
+    config = RenderConfig(width=16, height=12, max_tracer_depth=3,
+                          use_sky_box=False, use_sky=True, use_bilinear=False)
+    _compare(host, config)

@@ -97,3 +97,89 @@ def test_checkpoint_roundtrip(tmp_path):
     s.render()
     s2.render()
     assert np.array_equal(s.image_u8(), s2.image_u8())
+
+
+def _torus_session(config_kw=None):
+    from pathtracerwithcuda_tpu.scene.examples import torus_mesh
+
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [dict(mats["wall_white"]), dict(mats["light"]), dict(mats["red"])]
+    host.sphere_centers = np.array([[0, -1001.0, 0], [0, 4.0, 0]], np.float32)
+    host.sphere_radii = np.array([1000.0, 1.5], np.float32)
+    host.sphere_material_ids = np.array([0, 1], np.int32)
+    shape = torus_mesh(seg_u=24, seg_v=12)  # 576 tris > BRUTE_FORCE_MAX_TRIS
+    host.meshes = [
+        HostMesh.from_shapes([shape], [2], (0.0, 0.5, 0.0), (0.5, 0.5, 0.5), (0, 0, 0))
+    ]
+    config = RenderConfig(width=32, height=32, max_tracer_depth=3,
+                          use_sky_box=False, use_sky=True, **(config_kw or {}))
+    return RenderSession(host, config)
+
+
+def test_transform_edit_refits_without_rebuild(monkeypatch):
+    """Translate/scale edits must take the O(n) refit path (reference
+    Core/triangle_mesh.cpp:271-328 + Bvh/bvh.cpp:332-356), not a rebuild —
+    and produce the same image a full rebuild would."""
+    import pathtracerwithcuda_tpu.render.session as session_mod
+    from pathtracerwithcuda_tpu.bvh.flatten import FlatBVH, validate
+
+    s = _torus_session()
+    assert s.layout and s.layout[0].node_count > 0  # BVH actually in play
+
+    def boom(*a, **kw):
+        raise AssertionError("transform edit triggered a full rebuild")
+
+    monkeypatch.setattr(session_mod, "build_scene_data", boom)
+    s.set_mesh_transform(0, position=(0.8, 0.3, -0.2), scale=(0.7, 0.5, 0.6))
+    monkeypatch.undo()
+
+    # refit BVH still satisfies every structural invariant + contains its tris
+    lay = s.layout[0]
+    flat = FlatBVH(
+        node_min=np.asarray(s.scene.bvh_min),
+        node_max=np.asarray(s.scene.bvh_max),
+        next_index=np.asarray(s.scene.bvh_next),
+        tri_slots=np.asarray(s.scene.bvh_tri),
+    )
+    assert validate(flat, int(s.scene.num_triangles)) == []
+    v = np.stack([np.asarray(s.scene.tri_v0), np.asarray(s.scene.tri_v1),
+                  np.asarray(s.scene.tri_v2)], axis=1)
+    root_lo = np.asarray(s.scene.bvh_min[lay.node_start])
+    root_hi = np.asarray(s.scene.bvh_max[lay.node_start])
+    sl = slice(lay.tri_start, lay.tri_start + lay.tri_count)
+    assert (v[sl].min(axis=(0, 1)) >= root_lo - 1e-4).all()
+    assert (v[sl].max(axis=(0, 1)) <= root_hi + 1e-4).all()
+
+    # image equals a scene rebuilt from scratch at the new transform
+    s.render()
+    s2 = _torus_session()
+    s2.host_scene.meshes[0].position = np.array([0.8, 0.3, -0.2], np.float32)
+    s2.host_scene.meshes[0].scale = np.array([0.7, 0.5, 0.6], np.float32)
+    s2._rebuild()
+    s2.render()
+    assert np.allclose(np.asarray(s.accum), np.asarray(s2.accum), atol=1e-5)
+
+    # a second edit composes correctly (delta is relative to the last refit)
+    s.set_mesh_transform(0, position=(0.0, 0.5, 0.0), scale=(0.5, 0.5, 0.5))
+    s.render()
+    s3 = _torus_session()
+    s3.render()
+    assert np.allclose(np.asarray(s.accum), np.asarray(s3.accum), atol=1e-5)
+
+
+def test_lbvh_configured_scene_renders_identically():
+    """config.bvh_build=LBVH must actually dispatch the Morton builder
+    (reference builder choice, Bvh/bvh.h:28-49) and produce the same image."""
+    from pathtracerwithcuda_tpu.config import BvhBuildMethod
+
+    s_sah = _torus_session()
+    s_lbvh = _torus_session({"bvh_build": BvhBuildMethod.LBVH})
+    # LBVH leaves are single Morton-sorted triangles → different layout
+    assert s_lbvh.scene.leaf_size == 1
+    assert s_lbvh.scene.num_bvh_nodes != s_sah.scene.num_bvh_nodes or (
+        not np.array_equal(np.asarray(s_lbvh.scene.bvh_next),
+                           np.asarray(s_sah.scene.bvh_next)))
+    s_sah.render()
+    s_lbvh.render()
+    assert np.allclose(np.asarray(s_sah.accum), np.asarray(s_lbvh.accum), atol=1e-5)
