@@ -27,8 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-RAY_AXIS = "rays"
-SAMPLE_AXIS = "spp"
+from pathtracerwithcuda_tpu.axes import RAY_AXIS, SAMPLE_AXIS  # noqa: F401 (re-export)
 
 
 def make_render_mesh(num_devices: Optional[int] = None,

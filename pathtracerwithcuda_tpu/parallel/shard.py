@@ -97,6 +97,22 @@ def distributed_render_pass(scene: SceneData, camera: RenderCamera,
     return accumulate(accum_image, radiance, config.max_tracer_depth)
 
 
+def distributed_render_pass_host(scene: SceneData, camera: RenderCamera,
+                                 config: RenderConfig, accum_image, pass_index,
+                                 base_key, mesh: Mesh):
+    """Sharded PRODUCTION render pass: the host-driven bounce loop — Pallas
+    packet traversal, chip-local compaction + octant repack, host early exit —
+    running per-chip under shard_map (render.wavefront.trace_radiance_host
+    with mesh=...).  Unlike distributed_render_pass (the fused while-loop,
+    kept for the differentiable path), this is the same code path the
+    single-chip TPU benchmark runs; pixels shard over RAY_AXIS, scene
+    replicated, zero collectives in the forward loop."""
+    from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
+
+    return render_pass_host(scene, camera, config, accum_image, pass_index,
+                            base_key, mesh=mesh)
+
+
 def shard_accum_image(accum_image, mesh: Mesh):
     """Place the accumulation buffer sharded over the ray axis."""
     return jax.device_put(

@@ -31,9 +31,11 @@ from typing import Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as _PS
 
 from pathtracerwithcuda_tpu.config import RenderConfig
 from pathtracerwithcuda_tpu.core.types import RenderCamera, SceneData
+from pathtracerwithcuda_tpu.axes import RAY_AXIS
 from pathtracerwithcuda_tpu.ops import rng
 from pathtracerwithcuda_tpu.ops.fresnel import fresnel_conductor, fresnel_dielectric
 from pathtracerwithcuda_tpu.ops.intersect import INF, nearest_sphere
@@ -667,9 +669,100 @@ def _flush_jit(radiance_full, live_ids, radiance):
     return radiance_full.at[live_ids].add(radiance)
 
 
+# ---- shard_map wrappers: the SAME host-loop stages, each running per-chip
+# over the RAY_AXIS of a device mesh.  Rays never migrate chips (each chip
+# owns its pixel slice end-to-end: repack/compaction is chip-local, RNG is
+# keyed on the global pixel id carried in pixel_ids), so the forward path has
+# ZERO collectives — the TPU-native analog of the reference's single "memcpy
+# per frame" communication profile (SURVEY.md §5).  The per-bounce live
+# counts come back as one tiny (n_chips,) array; the host picks ONE bucket
+# (the max) so every chip's programs stay shape-identical.
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _raygen_shard(camera, config: RenderConfig, key, pixel_ids, mesh):
+    fn = jax.shard_map(
+        lambda cam, k, pids: _raygen_jit(cam, config, k, pids),
+        mesh=mesh, in_specs=(_PS(), _PS(), _PS(RAY_AXIS)),
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(camera, key, pixel_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("p_fixed_local", "mesh"))
+def _pad_rays_shard(state, scene, p_fixed_local: int, mesh):
+    fn = jax.shard_map(
+        lambda s, sc: _pad_rays_jit(s, sc, p_fixed_local),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS), _PS()),
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(state, scene)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_k", "mesh"))
+def _traverse_fixed_shard(o, d, b, bvh_min, bvh_max, bvh_next, bvh_tri_start,
+                          bvh_tri_count, tri_v0, tri_v1, tri_v2,
+                          leaf_k: int, mesh):
+    fn = jax.shard_map(
+        lambda o_, d_, b_, *tables: _traverse_fixed_jit(
+            o_, d_, b_, *tables, leaf_k=leaf_k),
+        mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS)) + (_PS(),) * 8,
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(o, d, b, bvh_min, bvh_max, bvh_next, bvh_tri_start,
+              bvh_tri_count, tri_v0, tri_v1, tri_v2)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "with_tri"))
+def _bounce_shard(state, scene, config: RenderConfig, key, depth, pixel_ids,
+                  tri_full, mesh, with_tri: bool):
+    def body(s, sc, k, dep, pids, tri):
+        if with_tri:
+            ns, alive = _bounce_with_tri_jit(s, sc, config, k, dep, pids, tri)
+        else:
+            ns, alive = _bounce_jit(s, sc, config, k, dep, pids)
+        return ns, alive[None]  # (1,) per chip -> (n_chips,) global
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(), _PS(), _PS(), _PS(RAY_AXIS),
+                  _PS(RAY_AXIS)),
+        out_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS)), check_vma=False)
+    if tri_full is None:  # placeholder so specs stay static
+        tri_full = jnp.zeros((pixel_ids.shape[0],), jnp.int32)
+    return fn(state, scene, key, depth, pixel_ids, tri_full)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size_local", "mesh"),
+                   donate_argnums=(3,))
+def _repack_shard(state, pixel_ids, live_ids, radiance_full,
+                  out_size_local: int, mesh):
+    fn = jax.shard_map(
+        lambda s, p_, l, r: _repack_jit(s, p_, l, r, out_size_local),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4,
+        out_specs=(_PS(RAY_AXIS),) * 4, check_vma=False)
+    return fn(state, pixel_ids, live_ids, radiance_full)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _flush_shard(radiance_full, live_ids, radiance, mesh):
+    fn = jax.shard_map(
+        _flush_jit, mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3,
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(radiance_full, live_ids, radiance)
+
+
+@functools.partial(jax.jit, static_argnames=("p_local", "mesh"))
+def _init_wavefront_shard(p_local: int, mesh):
+    fn = jax.shard_map(
+        lambda: (jnp.arange(p_local, dtype=jnp.int32),
+                 jnp.zeros((p_local, 3), jnp.float32)),
+        mesh=mesh, in_specs=(), out_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS)),
+        check_vma=False)
+    return fn()
+
+
 def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                         config: RenderConfig, key, pixel_ids=None, *,
-                        stats=None) -> Array:
+                        stats=None, mesh=None) -> Array:
     """Host-driven bounce loop: the all-dead early exit happens on the host
     and the live wavefront is compacted + coherence-sorted between bounces
     (see _repack_jit).  On TPU the Pallas traversal runs as its own
@@ -681,38 +774,79 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     TPU path — the fused modes keep masked lanes because XLA needs static
     shapes inside one program.
 
+    With `mesh` (a Mesh with a RAY_AXIS axis), every stage — including the
+    Pallas packet traversal — runs per-chip under shard_map with the scene
+    replicated and pixels sharded; compaction stays chip-local, so the result
+    is bit-identical to the single-device loop.
+
     stats: optional dict; gains 'segments' (live rays entering each bounce)
-    and 'wavefront' (dispatch size per bounce).
+    and 'wavefront' (per-chip dispatch size per bounce).
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
     p = int(pixel_ids.shape[0])
-    ladder = _bucket_ladder(p)
+    if mesh is not None:
+        n_ray = mesh.shape[RAY_AXIS]
+        if set(mesh.shape) != {RAY_AXIS}:
+            raise ValueError(
+                f"host loop shards over {RAY_AXIS!r} only; mesh has {dict(mesh.shape)}")
+        if p % n_ray:
+            raise ValueError(f"{p} pixels not divisible by {n_ray} chips")
+    else:
+        n_ray = 1
+    p_local = p // n_ray
+    ladder = _bucket_ladder(p_local)
     use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
     if use_packets:
-        p_fixed = ((p + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
-    state = _raygen_jit(camera, config, key, pixel_ids)
-    live_ids = jnp.arange(p, dtype=jnp.int32)
-    radiance_full = jnp.zeros((p, 3), jnp.float32)
-    cur = p
+        p_fixed = ((p_local + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
+
+    if mesh is None:
+        state = _raygen_jit(camera, config, key, pixel_ids)
+        live_ids = jnp.arange(p, dtype=jnp.int32)
+        radiance_full = jnp.zeros((p, 3), jnp.float32)
+    else:
+        state = _raygen_shard(camera, config, key, pixel_ids, mesh)
+        live_ids, radiance_full = _init_wavefront_shard(p_local, mesh)
+
+    cur = p_local
     count = p
     segments, sizes = [], []
     for depth in range(config.max_tracer_depth):
         segments.append(count)
         sizes.append(cur)
+        tri_full = None
         if use_packets:
-            o, d, b = _pad_rays_jit(state, scene, p_fixed)
-            tri_full = _traverse_fixed_jit(
-                o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
-                scene.bvh_tri_start, scene.bvh_tri_count,
-                scene.tri_v0, scene.tri_v1, scene.tri_v2,
-                leaf_k=scene.leaf_size)
-            state, alive = _bounce_with_tri_jit(
-                state, scene, config, key, depth, pixel_ids, tri_full)
+            if mesh is None:
+                o, d, b = _pad_rays_jit(state, scene, p_fixed)
+                tri_full = _traverse_fixed_jit(
+                    o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+                    scene.bvh_tri_start, scene.bvh_tri_count,
+                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                    leaf_k=scene.leaf_size)
+            else:
+                o, d, b = _pad_rays_shard(state, scene, p_fixed, mesh)
+                tri_full = _traverse_fixed_shard(
+                    o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+                    scene.bvh_tri_start, scene.bvh_tri_count,
+                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                    leaf_k=scene.leaf_size, mesh=mesh)
+        if mesh is None:
+            if tri_full is not None:
+                state, alive = _bounce_with_tri_jit(
+                    state, scene, config, key, depth, pixel_ids, tri_full)
+            else:
+                state, alive = _bounce_jit(state, scene, config, key, depth,
+                                           pixel_ids)
+            count = count_max = int(alive)
         else:
-            state, alive = _bounce_jit(state, scene, config, key, depth,
-                                       pixel_ids)
-        count = int(alive)
+            state, alive = _bounce_shard(
+                state, scene, config, key, depth, pixel_ids, tri_full, mesh,
+                with_tri=tri_full is not None)
+            import numpy as _np
+
+            counts = _np.asarray(alive)
+            count = int(counts.sum())
+            count_max = int(counts.max())
         if count == 0:
             break
         if depth < config.max_tracer_depth - 1:
@@ -720,14 +854,20 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             # ladder step, the octant counting sort inside _repack_jit makes
             # the next bounce's packets directionally coherent — worth far
             # more on the packet traversal than the repack costs
-            bucket = _bucket_for(count, cur, ladder)
-            state, pixel_ids, live_ids, radiance_full = _repack_jit(
-                state, pixel_ids, live_ids, radiance_full, bucket)
+            bucket = _bucket_for(count_max, cur, ladder)
+            if mesh is None:
+                state, pixel_ids, live_ids, radiance_full = _repack_jit(
+                    state, pixel_ids, live_ids, radiance_full, bucket)
+            else:
+                state, pixel_ids, live_ids, radiance_full = _repack_shard(
+                    state, pixel_ids, live_ids, radiance_full, bucket, mesh)
             cur = bucket
     if stats is not None:
         stats["segments"] = segments
         stats["wavefront"] = sizes
-    return _flush_jit(radiance_full, live_ids, state.radiance)
+    if mesh is None:
+        return _flush_jit(radiance_full, live_ids, state.radiance)
+    return _flush_shard(radiance_full, live_ids, state.radiance, mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "differentiable"))
@@ -756,16 +896,21 @@ def render_pass(scene: SceneData, camera: RenderCamera, config: RenderConfig,
 
 
 def render_pass_host(scene: SceneData, camera: RenderCamera, config: RenderConfig,
-                     accum_image: Array, pass_index: int, base_key) -> Array:
-    """Host-loop analog of render_pass (loop_mode='host'); not itself jitted."""
-    from pathtracerwithcuda_tpu.ops.tonemap import accumulate
+                     accum_image: Array, pass_index: int, base_key, *,
+                     mesh=None) -> Array:
+    """Host-loop analog of render_pass (loop_mode='host'); not itself jitted.
 
+    With `mesh`, pixels (and the accumulation buffer) shard over RAY_AXIS and
+    every stage — including the Pallas traversal — runs per-chip (see
+    trace_radiance_host).
+    """
     order, _ = render_order(config.width, config.height)
     pixel_ids = jnp.asarray(order)
-    radiance = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    radiance = None
     for s in range(config.spp_per_pass):
         key = rng.pass_key(base_key, pass_index * config.spp_per_pass + s)
-        radiance = radiance + trace_radiance_host(scene, camera, config, key, pixel_ids)
+        r = trace_radiance_host(scene, camera, config, key, pixel_ids, mesh=mesh)
+        radiance = r if radiance is None else radiance + r
     radiance = radiance / config.spp_per_pass
     return _accumulate_jit(accum_image, radiance, config.max_tracer_depth)
 

@@ -95,3 +95,66 @@ def test_mesh_scene_sharded():
     single = np.asarray(trace_radiance(scene, cam, config, key))
     sharded = np.asarray(distributed_trace(scene, cam, config, key, make_render_mesh(8)))
     assert np.array_equal(single, sharded)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_host_loop_sharded_matches_single_device():
+    """The PRODUCTION host loop (per-chip compaction + repack + host early
+    exit) under a ray mesh must be bit-identical to the single-device host
+    loop — rays never migrate chips and RNG is keyed on global pixel id."""
+    from pathtracerwithcuda_tpu.render.wavefront import trace_radiance_host
+
+    scene, cam, config = _setup()
+    key = rng.pass_key(jax.random.PRNGKey(0), 0)
+    single = np.asarray(trace_radiance_host(scene, cam, config, key))
+    mesh = make_render_mesh(8)
+    stats = {}
+    sharded = np.asarray(
+        trace_radiance_host(scene, cam, config, key, mesh=mesh, stats=stats)
+    )
+    assert np.array_equal(single, sharded)
+    assert stats["wavefront"][0] == config.pixel_count // 8  # per-chip sizes
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_host_loop_sharded_mesh_scene_render_pass():
+    """Sharded production pass over triangle geometry: BVH + compaction per
+    chip; matches the single-device host pass exactly."""
+    from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
+    from pathtracerwithcuda_tpu.parallel.shard import distributed_render_pass_host
+    from pathtracerwithcuda_tpu.scene.obj_loader import ObjShape
+    from pathtracerwithcuda_tpu.scene.build import HostMesh
+
+    rng_np = np.random.default_rng(7)
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["wall_white"], mats["light"]]
+    n = 120
+    base = rng_np.uniform(-3, 3, (n, 1, 3))
+    tri = (base + rng_np.normal(size=(n, 3, 3)) * 0.3).astype(np.float32)
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    nrm = np.repeat(nrm[:, None, :], 3, axis=1).astype(np.float32)
+    shape = ObjShape("blob", tri, nrm, np.zeros((n, 3, 2), np.float32))
+    host.meshes = [HostMesh.from_shapes([shape], [0], (0, 0, 0), (1, 1, 1),
+                                        (0, 0, 0))]
+    host.sphere_centers = np.array([[0.0, 8.0, 0.0]], np.float32)
+    host.sphere_radii = np.array([2.0], np.float32)
+    host.sphere_material_ids = np.array([1], np.int32)
+    config = RenderConfig(width=16, height=16, max_tracer_depth=3,
+                          use_sky_box=False, use_sky=True, spp_per_pass=2)
+    scene = build_scene_data(host, config)
+    cam = RenderCamera.create(
+        eye=(0, 1, 8.0), view=(0, 0, -1.0), up=(0, 1, 0),
+        width=16, height=16, fov_x_deg=45.0, focal_distance=8.0,
+    )
+    import jax.numpy as jnp
+
+    accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    single = np.asarray(render_pass_host(scene, cam, config, accum, 0,
+                                         jax.random.PRNGKey(0)))
+    mesh = make_render_mesh(8)
+    accum2 = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    sharded = np.asarray(distributed_render_pass_host(
+        scene, cam, config, accum2, 0, jax.random.PRNGKey(0), mesh))
+    assert np.array_equal(single, sharded)
