@@ -1,0 +1,103 @@
+"""Kernel walk/drain split on flagship-scale loads.
+
+One variant per process (pallas shape/program poison on the axon tunnel):
+
+  python -u -c "import sys; sys.argv=['x','<rays>','<mode>']; exec(open('experiments/kprof.py').read())"
+
+rays: primary | bounce     mode: full | walk_only
+(bounce = primary hit points + random directions, octant-sorted like the
+production repack — a realistic depth-1 incoherent load)
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracerwithcuda_tpu.ops import rng as rng_mod
+from pathtracerwithcuda_tpu.ops.raygen import generate_rays
+from pathtracerwithcuda_tpu.ops import traversal_pallas as tp
+from pathtracerwithcuda_tpu.render import wavefront as wf
+from pathtracerwithcuda_tpu.scene.build import build_scene_data
+from pathtracerwithcuda_tpu.scene.examples import (
+    flagship_camera,
+    flagship_config,
+    flagship_scene,
+)
+
+
+def main(which="primary", mode="full"):
+    config = flagship_config(width=1920, height=1080, max_tracer_depth=8,
+                             spp_per_pass=1, loop_mode="host")
+    scene = build_scene_data(flagship_scene(), config)
+    camera = flagship_camera(1920, 1080)
+    order, _ = wf.render_order(config.width, config.height)
+    pixel_ids = jnp.asarray(order)
+    key = rng_mod.pass_key(jax.random.PRNGKey(0), 0)
+    ray_u = rng_mod.raygen_uniforms(key, pixel_ids)
+    o, d = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
+
+    if which == "bounce":
+        # offline: primary hits via the XLA walk on CPU arrays is too slow;
+        # approximate hit points with a fixed march to the floor/torus region,
+        # then random dirs — matches bounce-ray statistics closely enough
+        rng = np.random.default_rng(0)
+        on = np.asarray(o)
+        dn = np.asarray(d)
+        t = rng.uniform(4.0, 14.0, (on.shape[0], 1)).astype(np.float32)
+        o2 = on + dn * t
+        d2 = rng.normal(size=dn.shape).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        octant = ((d2[:, 0] < 0) * 4 + (d2[:, 1] < 0) * 2 + (d2[:, 2] < 0)).astype(np.int32)
+        perm = np.argsort(octant, kind="stable")
+        o, d = jnp.asarray(o2[perm]), jnp.asarray(d2[perm])
+
+    p = o.shape[0]
+    chunk = tp.CHUNK_PACKETS * tp.PACKET
+    p_pad = (p + chunk - 1) // chunk * chunk
+    o = jnp.pad(o, ((0, p_pad - p), (0, 0)), constant_values=tp.FAR_ORIGIN)
+    d = jnp.pad(d, ((0, p_pad - p), (0, 0)), constant_values=1.0)
+    seed = jnp.full((p_pad,), jnp.inf)
+
+    nbox, meta, tris = tp.pack_scene_tables(
+        scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri_start,
+        scene.bvh_tri_count, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.leaf_size)
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    num_packets = p_pad // tp.PACKET
+    rays = jnp.concatenate([o, inv_d, seed[:, None]], axis=1)
+    rays = rays.reshape(num_packets, tp.ROWS, tp.LANES, 7).transpose(0, 3, 1, 2)
+    dirs = d.reshape(num_packets, tp.ROWS, tp.LANES, 3).transpose(0, 3, 1, 2)
+    nc = num_packets // tp.CHUNK_PACKETS
+    rays = rays.reshape(nc, tp.CHUNK_PACKETS, 7, tp.ROWS, tp.LANES)
+    dirs = dirs.reshape(nc, tp.CHUNK_PACKETS, 3, tp.ROWS, tp.LANES)
+
+    wo = mode == "walk_only"
+
+    def run_all():
+        outs = [tp._run(rays[c], dirs[c], nbox, meta, tris,
+                        num_nodes=scene.num_bvh_nodes,
+                        pad_tri=scene.num_triangles,
+                        leaf_k=scene.leaf_size, chains=tp.CHAINS,
+                        walk_only=wo)
+                for c in range(nc)]
+        return outs[-1][0]
+
+    x = run_all()
+    jax.block_until_ready(x)
+    np.asarray(x[0, 0, 0])
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        x = run_all()
+    np.asarray(x[0, 0, 0])
+    dt = (time.perf_counter() - t0) / n
+    print(f"{which}/{mode}: {dt*1e3:.1f} ms for {p} rays -> "
+          f"{p/dt/1e6:.1f} Mray/s", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "primary",
+         sys.argv[2] if len(sys.argv) > 2 else "full")

@@ -50,9 +50,17 @@ def run(width=1920, height=1080, depth=8, repeat=2):
     order, _ = wf.render_order(config.width, config.height)
     key = rng_mod.pass_key(jax.random.PRNGKey(0), 0)
 
+    # warm-up/compile with the REAL production loop (the manual loop below is
+    # stage-identical, but on the axon tunnel only this exact call sequence
+    # is known-good for first execution)
+    stats = {}
+    r = wf.trace_radiance_host(scene, camera, config, key, stats=stats)
+    np.asarray(r[0])
+    print("production warm-up ok; segments:", stats["segments"])
+
     global FENCES_ON
-    for rep in range(repeat + 1):
-        FENCES_ON = rep > 0
+    for rep in range(1, repeat + 1):
+        FENCES_ON = rep > 1
         pixel_ids = jnp.asarray(order)
         p = int(pixel_ids.shape[0])
         ladder = wf._bucket_ladder(p)
@@ -96,8 +104,9 @@ def run(width=1920, height=1080, depth=8, repeat=2):
             if count == 0:
                 break
         total = (time.perf_counter() - t_total) * 1e3
-        if rep == 0:
-            print("(warm-up / compile pass done)")
+        if rep == 1:
+            print("(manual-loop warm pass done, unfenced total "
+                  f"{total:.0f} ms)")
             continue
         print(f"--- rep {rep}: total {total:.0f} ms")
         print(f"{'d':>2} {'alive':>9} {'wave':>9} {'pad':>8} {'trav':>8} "

@@ -1,54 +1,51 @@
-"""Pallas TPU packet-traversal kernels — the hot path.
+"""Pallas TPU row-packet traversal kernels — the hot path.
 
-Why a packet design: TPU has no fast per-lane gather, so the XLA traversal
+Why packets at all: TPU has no fast per-lane gather, so the XLA traversal
 (ops/traversal.py), which gathers each lane's own BVH node every step, runs
-at HBM random-access latency.  Instead these kernels walk the skip-link BVH
+at HBM random-access latency.  These kernels walk the skip-link BVH
 (reference layout: Bvh/bvh.cpp:244-330, walk Kernel/path_tracer_kernel.cu:85-161)
-with ONE shared preorder cursor per packet of 1024 rays, testing each node's
-AABB against the whole packet with broadcast vector ops and descending when
-ANY lane hits.  Measured-on-v5e rules that shape the design:
+with SHARED cursors, testing nodes against whole groups of rays with
+broadcast vector ops and descending when ANY ray in the group hits.
 
-* A (1, 128) op costs the same cycle as an (8, 128) op → packets are 8x128 =
-  1024 rays (one full VPU register block per ray field).  Packets are 32x32
-  pixel tiles (render.wavefront render_order) so primary packets stay
-  coherent; bounced rays are compacted + octant-sorted by the caller.
-* One walk serializes on a vector→scalar `any(hit)` round trip per node
-  (~240 ns — the VPU pipeline + scalar-unit sync), so the walk kernel
-  interleaves CHAINS independent packets; their latencies overlap (~6x).
-* `lax.cond` in the loop body costs ~6x even when not taken — everything is
-  branchless selects.
-* Node metadata and the leaf lists live in SMEM: scalar loads/stores, no
-  vector↔scalar traffic.
+**Row packets.**  The round-1 kernel used one cursor per 1024-ray block and
+measured ~45 (8,128)-vector-ops per node visit; worse, an incoherent
+1024-ray group visits the UNION of its rays' node sets — measured ~1/3 of
+the whole tree per bounce-ray packet.  This kernel gives every sublane ROW
+(128 rays) its OWN walk:
 
-**Segmented walk/intersect with best-t feedback.**  A single fused walk pays
-the slab AND the triangle test on every iteration (each masked off half the
-time).  Instead the kernel alternates two phases per packet chain:
+* one (8, 128) ray block = 8 independent row-walks;
+* each step extracts EIGHT different nodes' AABBs (per-row dynamic tile
+  load + lane mask + reduce), assembles them into per-row slab operands via
+  an (8, 8) transpose, and runs ONE slab test for all 8 rows;
+* the 8 per-row any-hit bits come back in a SINGLE vector→scalar sync
+  (rows weighted by 2^row, max over lanes, sum over rows), so the scalar
+  round trip (~240 ns on v5e) is amortized 8×;
+* cursor updates are pure scalar ops on SMEM metadata.
 
-1. Walk segment — traversal only: slab tests against the whole packet,
-   pruned by each lane's CURRENT best_t (seeded with the closest sphere,
-   tightened by every intersect segment), appending each leaf-hit's packed
-   (tri start, count) word to the chain's SMEM-scratch list.  The segment
-   ends when the list holds SEG_CAP entries (or the walk finishes).
-2. Intersect segment — a `fori` over the list running masked Möller–Trumbore,
-   tri-at-a-time against all 1024 rays, updating per-lane best_t/best_tri
-   scratch.  The loop bound is a scalar carry, so the body has ZERO scalar
-   syncs and pipelines at full VPU throughput.
+Net: ~10 vector ops per node visit (4.5× less) over an 8× smaller
+divergence domain.
 
-The feedback loop is why this beats a collect-everything-then-intersect
-split: after the first segment resolves the near geometry, the tightened
-bounds prune most of the remaining tree.  It also removes the round-1
-overflow hazard by construction — the list is drained every SEG_CAP entries,
-so no leaf set can clamp and no XLA-walk redo pass exists.
+**Segmented walk/intersect with best-t feedback** (unchanged from round 1's
+design): walks append packed (tri start*64+count) leaf words to per-row SMEM
+lists; every SEG_CAP entries the kernel switches to a Möller–Trumbore drain
+whose loop bound is a scalar carry — zero syncs — updating per-lane
+best_t/best_tri that the next walk segment's slab prune consumes.  Leaf
+entries a row never filled are redirected to a zero-padded triangle slot
+(det == 0 → guaranteed miss), so the drain needs no per-row masks.  The
+feedback loop is also why no overflow/redo path exists: lists are drained
+every SEG_CAP entries, nothing can clamp.
 
 Leaf triangles are tested unmasked by per-lane AABB hits: a Möller–Trumbore
-hit with 0 < t < best_t is valid for *every* lane (the hit point lies inside
-the leaf's AABB, so a per-ray walk with any not-yet-tighter bound would have
-tested that leaf for that lane too), which is what makes the phase split
-sound and exact (closest hit, same contract as ops.traversal.traverse_bvh).
+hit with 0 < t < best_t is valid for *every* lane in the row (the hit point
+lies inside the leaf's AABB, so a per-ray walk with any not-yet-tighter
+bound would have tested that leaf for that lane too), which keeps the phase
+split sound and exact (closest hit, same contract as
+ops.traversal.traverse_bvh).
 
 Capacity: node AABBs / triangles in VMEM (~16 MB); node metadata (2 words:
-skip link + packed start*64+count) and the SEG_CAP-entry lists in SMEM.
-leaf_k (max triangles per leaf) must be <= 63 for the packed encoding.
+skip link + packed start*64+count) and the per-row SEG_CAP-entry lists in
+SMEM.  leaf_k (max triangles per leaf) must be <= 63 for the packed
+encoding.
 
 Each wavefront is dispatched in CHUNK_PACKETS-sized pieces so every call
 compiles the SAME pallas executable; see render.wavefront for why the kernel
@@ -65,17 +62,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-ROWS = 8                     # sublane rows per packet
-PACKET = ROWS * LANES        # rays per packet (one full VPU register block)
-CHAINS = 16                  # interleaved walks per kernel instance
-CHUNK_PACKETS = 128          # packets per pallas dispatch (131072 rays)
-SEG_CAP = 256                # leaf-list entries per walk segment (SMEM)
+ROWS = 8                     # sublane rows per block; each row = one walk
+PACKET = ROWS * LANES        # rays per block (one full VPU register block)
+CHAINS = 8                   # interleaved blocks per kernel instance
+CHUNK_PACKETS = 128          # blocks per pallas dispatch (131072 rays)
+SEG_CAP = 64                 # leaf-list entries per row per walk segment
 MAX_LEAF_K = 63              # packed start*64+count encoding
 INF = jnp.float32(jnp.inf)
 
-# a padded/dead ray parks far outside any scene AABB so its packet-side slab
-# tests miss everything (origin inside the root box would otherwise pass the
-# `near <= 0` bound test and drag the packet through the whole tree)
+# a padded/dead ray parks far outside any scene AABB so its slab tests miss
+# everything (an origin inside the root box would otherwise pass the
+# `near <= 0` bound test and drag its row through the whole tree)
 FAR_ORIGIN = 1e30
 
 
@@ -83,16 +80,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _extract_fields(tile, lane, rows):
-    """(R, 128) tile, scalar lane -> `rows` (1, 128) lane-splat field values.
-
-    Mosaic cannot broadcast (1, 1) -> (8, 128) in one op ("broadcast in both
-    sublanes and lanes"), so each field is returned pre-splat across lanes;
-    arithmetic against (8, 128) ray blocks then only broadcasts sublanes.
-    """
-    onehot = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) == lane
-    col = jnp.sum(jnp.where(onehot, tile, 0), axis=1, keepdims=True)
-    return [jnp.broadcast_to(col[r:r + 1, :], (1, LANES)) for r in range(rows)]
+def _t8(m):
+    """(8, 8) transpose — Mosaic lowers this natively and exactly (verified
+    on v5e; a default-precision dot_general against an identity would round
+    the operand to bf16 and corrupt box coordinates)."""
+    return jnp.transpose(m)
 
 
 def _slab(box6, o, inv_d, best_t):
@@ -111,14 +103,29 @@ def _slab(box6, o, inv_d, best_t):
     return (near <= far) & (far > 0.0) & (near <= best_t)
 
 
-def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
-    """Test ONE triangle (scalar index ti, scalar mask `active`) vs a packet.
+def _extract_col(tile, lane, lane_ids, rows: int):
+    """(R, 128) tile, scalar lane -> (R, 1) column of that lane's values."""
+    onehot = lane_ids[:rows] == lane
+    return jnp.sum(jnp.where(onehot, tile, 0.0), axis=1, keepdims=True)
 
-    Pure vector ops — no branches, no scalar syncs.
+
+def _rows_from_scalars(vals, row_ids, dtype):
+    """8 scalars -> (8, 1) tile with vals[r] at row r."""
+    acc = jnp.zeros((ROWS, 1), dtype)
+    for r, v in enumerate(vals):
+        acc = jnp.where(row_ids == r, jnp.asarray(v, dtype), acc)
+    return acc
+
+
+def _moller_trumbore_rows(f, ti_col, best_t, best_tri, o, d):
+    """Test 8 triangles — row r's triangle against row r's 128 rays.
+
+    f: 9 per-row-splat (8, 128) field tiles (v0 v1 v2 xyz); ti_col: (8, 1)
+    triangle ids.  Pure vector ops — no branches, no scalar syncs.  Rows with
+    nothing to test carry a zero-padded triangle (det == 0 → miss).
     """
     ox, oy, oz = o
     dx, dy, dz = d
-    f = _extract_fields(tri_ref[ti // LANES], jax.lax.rem(ti, LANES), 9)
     v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = f
     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
@@ -140,21 +147,21 @@ def _moller_trumbore_one(tri_ref, ti, active, best_t, best_tri, o, d):
     b2 = (dx * qx + dy * qy + dz * qz) * inv_det
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (det_ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-          & (t > 0.0) & (t < best_t) & active)
+          & (t > 0.0) & (t < best_t))
     best_t = jnp.where(ok, t, best_t)
-    best_tri = jnp.where(ok, ti, best_tri)
+    best_tri = jnp.where(ok, jnp.broadcast_to(ti_col, best_tri.shape), best_tri)
     return best_t, best_tri
 
 
 # --------------------------------------------------------------------------
-# segmented walk + intersect kernel
+# segmented row-walk + intersect kernel
 # --------------------------------------------------------------------------
 
 
 def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
             out_tri_ref, list_ref, bt_ref, btri_ref, *, num_nodes: int,
-            chains: int, leaf_k: int):
-    """`chains` interleaved packet walks alternating with leaf intersection.
+            pad_tri: int, chains: int, leaf_k: int, walk_only: bool = False):
+    """`chains` blocks of 8 interleaved row-walks + masked leaf intersection.
 
     meta_ref (SMEM, 2N i32): [2n]=skip link, [2n+1]=tri start*64 + count.
     ray_ref  (C, 7, 8, 128): fields 0-2 origin, 3-5 inverse direction,
@@ -162,11 +169,19 @@ def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
     dir_ref  (C, 3, 8, 128): fields 0-2 direction.
     nbox_ref (NT, 8, 128) f32: AABB field q of node t*128+l (q: 0-2 min,
                              3-5 max).
-    list_ref (SMEM scratch, (C, SEG_CAP) i32): per-chain packed leaf words.
+    list_ref (SMEM scratch, (C, 8, SEG_CAP) i32): per-row packed leaf words.
     bt_ref / btri_ref (VMEM scratch, (C, 8, 128)): running best_t / best_tri,
                              read by the walk's slab prune every visit.
+    pad_tri: index of a zero-padded (degenerate) triangle slot — the masked
+             drain redirects inactive (row, k) tests there.
     """
     nn = jnp.int32(num_nodes)
+    nw = chains * ROWS  # total row-walks
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    row_w = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0))
+
     os_ = [[ray_ref[i, f] for f in range(3)] for i in range(chains)]
     invs = [[ray_ref[i, 3 + f] for f in range(3)] for i in range(chains)]
 
@@ -176,81 +191,134 @@ def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
 
     def outer_cond(poss):
         alive = poss[0] < nn
-        for i in range(1, chains):
-            alive = alive | (poss[i] < nn)
+        for w in range(1, nw):
+            alive = alive | (poss[w] < nn)
         return alive
 
     def outer_body(poss):
-        # ---- walk segment: advance every unfinished chain until its leaf
+        # ---- walk segment: advance every unfinished row until its leaf
         # list holds SEG_CAP entries (or its walk completes)
         def wcond(c):
-            alive = (c[0] < nn) & (c[chains] < SEG_CAP)
-            for i in range(1, chains):
-                alive = alive | ((c[i] < nn) & (c[chains + i] < SEG_CAP))
+            alive = (c[0] < nn) & (c[nw] < SEG_CAP)
+            for w in range(1, nw):
+                alive = alive | ((c[w] < nn) & (c[nw + w] < SEG_CAP))
             return alive
 
         def wbody(c):
-            ps = list(c[:chains])
-            cs = list(c[chains:])
+            ps = list(c[:nw])
+            cs = list(c[nw:])
             for i in range(chains):
-                pos, cur = ps[i], cs[i]
-                step = (pos < nn) & (cur < SEG_CAP)
-                node = jnp.minimum(pos, nn - 1)
-                box6 = _extract_fields(nbox_ref[node // LANES],
-                                       jax.lax.rem(node, LANES), 6)
-                lane_hit = _slab(box6, os_[i], invs[i], bt_ref[i])
-                any_hit = jnp.any(lane_hit) & step
-                nxt = meta_ref[2 * node]
-                packed = meta_ref[2 * node + 1]
-                count = jax.lax.rem(packed, 64)
-                is_leaf_hit = any_hit & (count > 0)
-                # unconditional store: non-leaf iterations write garbage at
-                # the cursor, overwritten by the next leaf hit / never read
-                list_ref[i, jnp.minimum(cur, SEG_CAP - 1)] = packed
-                cs[i] = cur + jnp.where(is_leaf_hit, 1, 0)
-                ps[i] = jnp.where(step, jnp.where(any_hit, pos + 1, nxt), pos)
+                nodes = [jnp.minimum(ps[i * ROWS + r], nn - 1)
+                         for r in range(ROWS)]
+                cols = [
+                    _extract_col(nbox_ref[n // LANES], jax.lax.rem(n, LANES),
+                                 lane_ids, ROWS)
+                    for n in nodes
+                ]
+                m = jnp.concatenate(cols, axis=1)       # (8, 8) [field, row]
+                mt = _t8(m)                             # (8, 8) [row, field]
+                box6 = [jnp.broadcast_to(mt[:, q:q + 1], (ROWS, LANES))
+                        for q in range(6)]
+                hit = _slab(box6, os_[i], invs[i], bt_ref[i])  # (8, 128)
+                # 8 per-row any-hit bits in ONE scalar sync
+                bits = jnp.sum(jnp.max(jnp.where(hit, row_w, 0), axis=1,
+                                       keepdims=True))
+                for r in range(ROWS):
+                    w = i * ROWS + r
+                    pos, cur = ps[w], cs[w]
+                    node = nodes[r]
+                    stepping = (pos < nn) & (cur < SEG_CAP)
+                    any_hit = (jax.lax.shift_right_logical(
+                        bits, jnp.int32(r)) & 1) > 0
+                    any_hit = any_hit & stepping
+                    nxt = meta_ref[2 * node]
+                    packed = meta_ref[2 * node + 1]
+                    count = jax.lax.rem(packed, 64)
+                    is_leaf_hit = any_hit & (count > 0)
+                    # unconditional store at the cursor: non-leaf iterations
+                    # write garbage there, overwritten by the next leaf hit /
+                    # never read (the drain is bounded by the cursor).  Rows
+                    # stalled at cur == SEG_CAP park writes in the spare
+                    # SEG_CAP slot so they cannot clobber a live entry.
+                    list_ref[i, r, cur] = packed
+                    cs[w] = cur + jnp.where(is_leaf_hit, 1, 0)
+                    ps[w] = jnp.where(stepping,
+                                      jnp.where(any_hit, pos + 1, nxt), pos)
             return tuple(ps) + tuple(cs)
 
-        init = tuple(poss) + tuple(jnp.int32(0) for _ in range(chains))
+        init = tuple(poss) + tuple(jnp.int32(0) for _ in range(nw))
         walked = jax.lax.while_loop(wcond, wbody, init)
 
-        # ---- intersect segment: drain each chain's list, tighten best_t
+        # ---- intersect segment: drain all rows' lists in lockstep,
+        # inactive (row, entry, k) slots redirected to the pad triangle
+        if walk_only:  # timing diagnostics only — results are wrong
+            return walked[:nw]
         for i in range(chains):
             d = [dir_ref[i, f] for f in range(3)]
-            n = walked[chains + i]
+            ns = [walked[nw + i * ROWS + r] for r in range(ROWS)]
+            nmax = ns[0]
+            for r in range(1, ROWS):
+                nmax = jnp.maximum(nmax, ns[r])
 
-            def mt_body(l, carry, i=i, d=d):
-                best_t, best_tri = carry
-                packed = list_ref[i, l]
-                start = packed // 64
-                count = packed - start * 64
-                for k in range(leaf_k):
-                    best_t, best_tri = _moller_trumbore_one(
-                        tri_ref, start + k, k < count, best_t, best_tri,
-                        os_[i], d)
-                return best_t, best_tri
+            def mt_body(l, carry, i=i, d=d, ns=ns):
+                starts, counts = [], []
+                kmax = jnp.int32(0)
+                for r in range(ROWS):
+                    packed = jnp.where(l < ns[r],
+                                       list_ref[i, r, jnp.minimum(l, SEG_CAP - 1)],
+                                       0)
+                    start = packed // 64
+                    count = packed - start * 64
+                    counts.append(count)
+                    starts.append(start)
+                    kmax = jnp.maximum(kmax, count)
+
+                def k_body(k, carry2, i=i, d=d):
+                    best_t, best_tri = carry2
+                    tis = [jnp.where(k < counts[r], starts[r] + k, pad_tri)
+                           for r in range(ROWS)]
+                    cols = [
+                        _extract_col(tri_ref[ti // LANES],
+                                     jax.lax.rem(ti, LANES), lane_ids, 16)
+                        for ti in tis
+                    ]
+                    c16 = jnp.concatenate(cols, axis=1)   # (16, 8)
+                    t_lo = _t8(c16[0:8])                  # (8, 8) fields 0-7
+                    t_hi = _t8(c16[8:16])                 # (8, 8) fields 8-15
+                    f = [jnp.broadcast_to(t_lo[:, q:q + 1], (ROWS, LANES))
+                         for q in range(8)]
+                    f.append(jnp.broadcast_to(t_hi[:, 0:1], (ROWS, LANES)))
+                    ti_col = _rows_from_scalars(tis, row_ids, jnp.int32)
+                    return _moller_trumbore_rows(
+                        f, ti_col, best_t, best_tri, os_[i], d)
+
+                return jax.lax.fori_loop(0, kmax, k_body, carry)
 
             best_t, best_tri = jax.lax.fori_loop(
-                0, n, mt_body, (bt_ref[i], btri_ref[i]))
+                0, nmax, mt_body, (bt_ref[i], btri_ref[i]))
             bt_ref[i] = best_t
             btri_ref[i] = best_tri
-        return walked[:chains]
+        return walked[:nw]
 
     jax.lax.while_loop(outer_cond, outer_body,
-                       tuple(jnp.int32(0) for _ in range(chains)))
+                       tuple(jnp.int32(0) for _ in range(nw)))
     for i in range(chains):
         out_t_ref[i] = bt_ref[i]
         out_tri_ref[i] = btri_ref[i]
+        # pad-triangle hits can only come from redirected (inactive) slots
+        # with det == 0, which never pass the hit test — no cleanup needed
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "leaf_k", "chains",
-                                             "interpret"))
-def _run(rays, dirs, nbox, meta, tris, num_nodes: int, leaf_k: int,
-         chains: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("num_nodes", "pad_tri", "leaf_k",
+                                             "chains", "interpret", "walk_only"))
+def _run(rays, dirs, nbox, meta, tris, num_nodes: int, pad_tri: int,
+         leaf_k: int, chains: int, interpret: bool = False,
+         walk_only: bool = False):
     num_packets = rays.shape[0]
     grid = num_packets // chains
-    kernel = functools.partial(_kernel, num_nodes=num_nodes, chains=chains,
-                               leaf_k=leaf_k)
+    kernel = functools.partial(_kernel, num_nodes=num_nodes, pad_tri=pad_tri,
+                               chains=chains, leaf_k=leaf_k,
+                               walk_only=walk_only)
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -276,7 +344,7 @@ def _run(rays, dirs, nbox, meta, tris, num_nodes: int, leaf_k: int,
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((chains, SEG_CAP), jnp.int32),
+            pltpu.SMEM((chains, ROWS, SEG_CAP + 1), jnp.int32),
             pltpu.VMEM((chains, ROWS, LANES), jnp.float32),
             pltpu.VMEM((chains, ROWS, LANES), jnp.int32),
         ],
@@ -331,8 +399,8 @@ def vmem_table_bytes(num_nodes: int, num_tris: int, leaf_k: int) -> int:
 
 
 def smem_meta_bytes(num_nodes: int) -> int:
-    """SMEM footprint: node metadata + per-chain segment lists."""
-    return 2 * max(num_nodes, 1) * 4 + CHAINS * SEG_CAP * 4
+    """SMEM footprint: node metadata + per-row segment lists."""
+    return 2 * max(num_nodes, 1) * 4 + CHAINS * ROWS * SEG_CAP * 4
 
 
 def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
@@ -348,6 +416,7 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     """
     p = origin.shape[0]
     num_nodes = bvh_min.shape[0]
+    num_tris = tri_v0.shape[0]
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
     if min_t0 is None:
@@ -368,7 +437,7 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     pad = p_pad - p
 
     # dead lanes (seed bound 0) park far away so they cannot pass the slab
-    # test and force packet descends (their origin may be inside the scene)
+    # test and force row descends (their origin may be inside the scene)
     dead = min_t0 <= 0.0
     o = jnp.where(dead[:, None], FAR_ORIGIN, origin)
     if pad:
@@ -393,7 +462,8 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     dirs = dirs.reshape(n_chunks, CHUNK_PACKETS, 3, ROWS, LANES)
     outs = [
         _run(rays[c], dirs[c], nbox, meta, tris, num_nodes=num_nodes,
-             leaf_k=leaf_k, chains=chains, interpret=interpret)
+             pad_tri=num_tris, leaf_k=leaf_k, chains=chains,
+             interpret=interpret)
         for c in range(n_chunks)
     ]
     out_t = jnp.concatenate([o[0] for o in outs], axis=0)

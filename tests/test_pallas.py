@@ -77,3 +77,36 @@ def test_vmem_budget_estimate():
     # a 5M-triangle scene does not
     assert vmem_table_bytes(33026, 66052, 4) < 12 * 2**20
     assert vmem_table_bytes(2_500_000, 5_000_000, 4) > 16 * 2**20
+
+
+def test_packets_survive_segment_stalls(rng_np):
+    """Rows that fill their SEG_CAP leaf list mid-walk must stall without
+    clobbering live entries (regression: stalled rows used to overwrite the
+    last list slot, silently losing leaves → missed hits).  Dense converging
+    rays on a leaf-1 tree force every row through > SEG_CAP leaves."""
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import SEG_CAP
+
+    n = 300  # leaf-1 -> 300 leaves, far more than SEG_CAP per segment
+    tri, bvh, start, count = _build(rng_np, n, 1)
+    r = 256
+    # rays converge on the blob from one side -> each row's walk visits most
+    # of the tree and must segment several times
+    o = np.tile(np.array([[0.0, 0.0, 30.0]], np.float32), (r, 1))
+    o += rng_np.normal(size=(r, 3)).astype(np.float32) * 0.05
+    target = rng_np.uniform(-4, 4, (r, 3)).astype(np.float32)
+    d = target - o
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    assert n > SEG_CAP
+    jv = [jnp.asarray(tri[:, i]) for i in range(3)]
+    tb, t_b = brute_force_nearest_triangle(jnp.asarray(o), jnp.asarray(d), *jv)
+    tp, t_p = traverse_bvh_packets(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
+        jnp.asarray(bvh.next_index), jnp.asarray(start), jnp.asarray(count),
+        *jv, leaf_k=1, interpret=True,
+    )
+    t_b, t_p = np.asarray(t_b), np.asarray(t_p)
+    assert (np.isfinite(t_b) == np.isfinite(t_p)).all()
+    fin = np.isfinite(t_b)
+    assert fin.sum() > r // 4  # the setup actually produces dense hits
+    assert np.allclose(t_b[fin], t_p[fin], rtol=1e-5, atol=1e-6)
