@@ -28,9 +28,17 @@ from pathtracerwithcuda_tpu.scene.examples import (
 )
 
 
-def main(which="primary", mode="full"):
+def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
+    import os
+
+    if os.environ.get("PT_SEG_CAP"):
+        tp.SEG_CAP = int(os.environ["PT_SEG_CAP"])
     config = flagship_config(width=1920, height=1080, max_tracer_depth=8,
                              spp_per_pass=1, loop_mode="host")
+    if leaf:
+        config = config.replace(bvh_leaf_node_triangle_num=int(leaf))
+    chains = int(chains) if chains else tp.CHAINS
+    dirbins = int(dirbins)
     scene = build_scene_data(flagship_scene(), config)
     camera = flagship_camera(1920, 1080)
     order, _ = wf.render_order(config.width, config.height)
@@ -51,7 +59,22 @@ def main(which="primary", mode="full"):
         d2 = rng.normal(size=dn.shape).astype(np.float32)
         d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
         octant = ((d2[:, 0] < 0) * 4 + (d2[:, 1] < 0) * 2 + (d2[:, 2] < 0)).astype(np.int32)
-        perm = np.argsort(octant, kind="stable")
+        key_np = octant
+        if dirbins > 0:
+            # finer direction key: octant + quantized |direction| sub-bins
+            ax = np.clip((np.abs(d2) * dirbins).astype(np.int32), 0, dirbins - 1)
+            key_np = ((octant * dirbins + ax[:, 0]) * dirbins + ax[:, 1])
+        elif dirbins < 0:
+            # origin-cell key: quantize origins to a (-dirbins)^3 grid, then
+            # octant within the cell — spatial-first coherence
+            g = -dirbins
+            lo = o2.min(axis=0)
+            hi = o2.max(axis=0)
+            c = np.clip(((o2 - lo) / np.maximum(hi - lo, 1e-9) * g).astype(np.int32),
+                        0, g - 1)
+            cell = (c[:, 0] * g + c[:, 1]) * g + c[:, 2]
+            key_np = cell * 8 + octant
+        perm = np.argsort(key_np, kind="stable")
         o, d = jnp.asarray(o2[perm]), jnp.asarray(d2[perm])
 
     p = o.shape[0]
@@ -80,7 +103,7 @@ def main(which="primary", mode="full"):
         outs = [tp._run(rays[c], dirs[c], nbox, meta, tris,
                         num_nodes=scene.num_bvh_nodes,
                         pad_tri=scene.num_triangles,
-                        leaf_k=scene.leaf_size, chains=tp.CHAINS,
+                        leaf_k=scene.leaf_size, chains=chains,
                         walk_only=wo)
                 for c in range(nc)]
         return outs[-1][0]
@@ -94,10 +117,11 @@ def main(which="primary", mode="full"):
         x = run_all()
     np.asarray(x[0, 0, 0])
     dt = (time.perf_counter() - t0) / n
-    print(f"{which}/{mode}: {dt*1e3:.1f} ms for {p} rays -> "
-          f"{p/dt/1e6:.1f} Mray/s", flush=True)
+    print(f"{which}/{mode} leaf={scene.leaf_size} chains={chains} "
+          f"dirbins={dirbins} segcap={tp.SEG_CAP}: {dt*1e3:.1f} ms for {p} "
+          f"rays -> {p/dt/1e6:.1f} Mray/s", flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "primary",
-         sys.argv[2] if len(sys.argv) > 2 else "full")
+    a = sys.argv[1:] + [None] * 5
+    main(a[0] or "primary", a[1] or "full", a[2], a[3], a[4] or 0)

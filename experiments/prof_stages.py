@@ -65,6 +65,7 @@ def run(width=1920, height=1080, depth=8, repeat=2):
         p = int(pixel_ids.shape[0])
         ladder = wf._bucket_ladder(p)
         p_fixed = ((p + wf._COMPACT_ALIGN - 1) // wf._COMPACT_ALIGN) * wf._COMPACT_ALIGN
+        tables = wf._pack_tables_jit(scene, scene.leaf_size)
         state = wf._raygen_jit(camera, config, key, pixel_ids)
         live_ids = jnp.arange(p, dtype=jnp.int32)
         radiance_full = jnp.zeros((p, 3), jnp.float32)
@@ -79,10 +80,8 @@ def run(width=1920, height=1080, depth=8, repeat=2):
             fence(b)
             t1 = time.perf_counter()
             tri_full = wf._traverse_fixed_jit(
-                o, dd, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
-                scene.bvh_tri_start, scene.bvh_tri_count,
-                scene.tri_v0, scene.tri_v1, scene.tri_v2,
-                leaf_k=scene.leaf_size)
+                o, dd, b, *tables, num_nodes=scene.num_bvh_nodes,
+                num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
             fence(tri_full)
             t2 = time.perf_counter()
             state, alive = wf._bounce_with_tri_jit(

@@ -102,11 +102,13 @@ def mode_traverse():
     d = jnp.pad(d, ((0, p_fixed - p), (0, 0)), constant_values=1.0)
     b = jnp.pad(jnp.full((p,), jnp.inf), ((0, p_fixed - p),))
 
+    from pathtracerwithcuda_tpu.render.wavefront import _pack_tables_jit
+
+    tables = _pack_tables_jit(scene, scene.leaf_size)
     t0 = time.perf_counter()
-    dt, tri = timed(_traverse_fixed_jit, o, d, b, scene.bvh_min, scene.bvh_max,
-                    scene.bvh_next, scene.bvh_tri_start, scene.bvh_tri_count,
-                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
-                    leaf_k=scene.leaf_size)
+    dt, tri = timed(_traverse_fixed_jit, o, d, b, *tables,
+                    num_nodes=scene.num_bvh_nodes,
+                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
     print(f"compile+3 runs total {time.perf_counter()-t0:.1f}s")
     hits = int(jnp.sum(tri[:p] >= 0))
     print(f"primary traverse: {dt*1e3:.1f} ms for {p} rays "

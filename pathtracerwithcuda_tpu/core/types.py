@@ -173,6 +173,11 @@ class SceneData:
     # 0:+x 1:-x 2:+y 3:-y 4:+z 5:-z
     env_faces: Array
 
+    # static (compile-time) flag: does ANY material reference a specular
+    # texture?  When False the integrator skips the second bilinear
+    # sample_atlas pass entirely (4 gathers per lane per bounce).
+    has_specular_tex: bool = flax.struct.field(pytree_node=False, default=True)
+
     @property
     def num_spheres(self) -> int:
         return self.sphere_center.shape[0]

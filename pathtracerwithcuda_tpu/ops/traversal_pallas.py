@@ -158,18 +158,21 @@ def _moller_trumbore_rows(f, ti_col, best_t, best_tri, o, d):
 # --------------------------------------------------------------------------
 
 
-def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
+def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
+            seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref, out_t_ref,
             out_tri_ref, list_ref, bt_ref, btri_ref, *, num_nodes: int,
             pad_tri: int, chains: int, leaf_k: int, walk_only: bool = False):
     """`chains` blocks of 8 interleaved row-walks + masked leaf intersection.
 
     meta_ref (SMEM, 2N i32): [2n]=skip link, [2n+1]=tri start*64 + count.
-    ray_ref  (C, 7, 8, 128): fields 0-2 origin, 3-5 inverse direction,
-                             6 seed bound (closest sphere; 0 = dead lane).
-    dir_ref  (C, 3, 8, 128): fields 0-2 direction.
+    Ray fields arrive as TEN separate (C, 8, 128) refs (origin xyz, inverse
+    direction xyz, seed bound, direction xyz) so the host-side packing is a
+    pure reshape — interleaving them into one (C, 10, 8, 128) block would
+    cost a 60 MB relayout transpose per dispatch at 1080p.
+    Seed bound = closest sphere t; 0 = dead lane.
     nbox_ref (NT, 8, 128) f32: AABB field q of node t*128+l (q: 0-2 min,
                              3-5 max).
-    list_ref (SMEM scratch, (C, 8, SEG_CAP) i32): per-row packed leaf words.
+    list_ref (SMEM scratch, (C, 8, SEG_CAP+1) i32): per-row packed leaf words.
     bt_ref / btri_ref (VMEM scratch, (C, 8, 128)): running best_t / best_tri,
                              read by the walk's slab prune every visit.
     pad_tri: index of a zero-padded (degenerate) triangle slot — the masked
@@ -182,11 +185,11 @@ def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
     row_w = jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0))
 
-    os_ = [[ray_ref[i, f] for f in range(3)] for i in range(chains)]
-    invs = [[ray_ref[i, 3 + f] for f in range(3)] for i in range(chains)]
+    os_ = [[ox_ref[i], oy_ref[i], oz_ref[i]] for i in range(chains)]
+    invs = [[ix_ref[i], iy_ref[i], iz_ref[i]] for i in range(chains)]
 
     for i in range(chains):
-        bt_ref[i] = ray_ref[i, 6]
+        bt_ref[i] = seed_ref[i]
         btri_ref[i] = jnp.full((ROWS, LANES), -1, jnp.int32)
 
     def outer_cond(poss):
@@ -254,7 +257,7 @@ def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
         if walk_only:  # timing diagnostics only — results are wrong
             return walked[:nw]
         for i in range(chains):
-            d = [dir_ref[i, f] for f in range(3)]
+            d = [dx_ref[i], dy_ref[i], dz_ref[i]]
             ns = [walked[nw + i * ROWS + r] for r in range(ROWS)]
             nmax = ns[0]
             for r in range(1, ROWS):
@@ -311,34 +314,29 @@ def _kernel(meta_ref, ray_ref, dir_ref, nbox_ref, tri_ref, out_t_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "pad_tri", "leaf_k",
                                              "chains", "interpret", "walk_only"))
-def _run(rays, dirs, nbox, meta, tris, num_nodes: int, pad_tri: int,
+def _run(fields, nbox, meta, tris, num_nodes: int, pad_tri: int,
          leaf_k: int, chains: int, interpret: bool = False,
          walk_only: bool = False):
-    num_packets = rays.shape[0]
+    """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
+    num_packets = fields[0].shape[0]
     grid = num_packets // chains
     kernel = functools.partial(_kernel, num_nodes=num_nodes, pad_tri=pad_tri,
                                chains=chains, leaf_k=leaf_k,
                                walk_only=walk_only)
+    block = pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chains, 7, ROWS, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chains, 3, ROWS, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [block] * 10
+        + [
             pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[block, block],
         out_shape=[
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
@@ -349,7 +347,7 @@ def _run(rays, dirs, nbox, meta, tris, num_nodes: int, pad_tri: int,
             pltpu.VMEM((chains, ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, rays, dirs, nbox, tris)
+    )(meta, *fields, nbox, tris)
     return out_t, out_tri
 
 
@@ -403,6 +401,55 @@ def smem_meta_bytes(num_nodes: int) -> int:
     return 2 * max(num_nodes, 1) * 4 + CHAINS * ROWS * SEG_CAP * 4
 
 
+def traverse_packed(origin, direction, min_t0, tables, *, num_nodes: int,
+                    num_tris: int, leaf_k: int, chains: int = CHAINS,
+                    interpret: bool = False, walk_only: bool = False):
+    """Packet traversal with PREPACKED scene tables (pack_scene_tables) —
+    the production path packs tables once per trace instead of once per
+    bounce.  origin/direction (P, 3), min_t0 (P,); P must be a multiple of
+    CHUNK_PACKETS*PACKET (render.wavefront pads the wavefront).
+
+    All host-side ray marshalling is elementwise + pure reshapes: the ray
+    fields go to the kernel as ten separate arrays (see _kernel docstring).
+    Returns (tri_index, t) with -1/inf for no triangle beating min_t0.
+    """
+    nbox, meta, tris = tables
+    p = origin.shape[0]
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    min_t0 = jax.lax.stop_gradient(min_t0)
+
+    # dead lanes (seed bound 0) park far away so they cannot pass the slab
+    # test and force row descends (their origin may be inside the scene)
+    dead = min_t0 <= 0.0
+    o = jnp.where(dead[:, None], FAR_ORIGIN, origin)
+    d = jnp.where(direction == 0.0, 1e-20, direction)
+    inv_d = 1.0 / d
+
+    num_packets = p // PACKET
+    n_chunks = num_packets // CHUNK_PACKETS
+
+    def shatter(x):  # (P,) -> (n_chunks, CHUNK_PACKETS, 8, 128), reshape-only
+        return x.reshape(n_chunks, CHUNK_PACKETS, ROWS, LANES)
+
+    fields = [shatter(o[:, 0]), shatter(o[:, 1]), shatter(o[:, 2]),
+              shatter(inv_d[:, 0]), shatter(inv_d[:, 1]), shatter(inv_d[:, 2]),
+              shatter(min_t0),
+              shatter(d[:, 0]), shatter(d[:, 1]), shatter(d[:, 2])]
+    outs = [
+        _run([f[c] for f in fields], nbox, meta, tris, num_nodes=num_nodes,
+             pad_tri=num_tris, leaf_k=leaf_k, chains=chains,
+             interpret=interpret, walk_only=walk_only)
+        for c in range(n_chunks)
+    ]
+    out_t = jnp.concatenate([o_[0] for o_ in outs], axis=0)
+    out_tri = jnp.concatenate([o_[1] for o_ in outs], axis=0)
+    best_t = out_t.reshape(p)
+    best_tri = out_tri.reshape(p)
+    best_t = jnp.where(best_tri >= 0, best_t, INF)
+    return best_tri, best_t
+
+
 def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
                          bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
                          min_t0=None, *, leaf_k: int, chains: int = CHAINS,
@@ -417,12 +464,8 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     p = origin.shape[0]
     num_nodes = bvh_min.shape[0]
     num_tris = tri_v0.shape[0]
-    origin = jax.lax.stop_gradient(origin)
-    direction = jax.lax.stop_gradient(direction)
     if min_t0 is None:
         min_t0 = jnp.full((p,), INF)
-    else:
-        min_t0 = jax.lax.stop_gradient(min_t0)
 
     if num_nodes == 0:
         return jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
@@ -435,40 +478,17 @@ def traverse_bvh_packets(origin, direction, bvh_min, bvh_max, bvh_next,
     chunk_rays = CHUNK_PACKETS * PACKET
     p_pad = _round_up(p, chunk_rays)
     pad = p_pad - p
-
-    # dead lanes (seed bound 0) park far away so they cannot pass the slab
-    # test and force row descends (their origin may be inside the scene)
-    dead = min_t0 <= 0.0
-    o = jnp.where(dead[:, None], FAR_ORIGIN, origin)
     if pad:
-        o = jnp.pad(o, ((0, pad), (0, 0)), constant_values=FAR_ORIGIN)
-    d = jnp.where(direction == 0.0, 1e-20, direction)
-    if pad:
-        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    seed = jnp.pad(min_t0, ((0, pad),)) if pad else min_t0
+        origin = jnp.pad(origin, ((0, pad), (0, 0)),
+                         constant_values=FAR_ORIGIN)
+        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        min_t0 = jnp.pad(min_t0, ((0, pad),))
 
-    inv_d = 1.0 / d
-    num_packets = p_pad // PACKET
-    rays = jnp.concatenate([o, inv_d, seed[:, None]], axis=1)  # (P, 7)
-    rays = rays.reshape(num_packets, ROWS, LANES, 7).transpose(0, 3, 1, 2)
-    dirs = d.reshape(num_packets, ROWS, LANES, 3).transpose(0, 3, 1, 2)
-
-    nbox, meta, tris = pack_scene_tables(
+    tables = pack_scene_tables(
         bvh_min, bvh_max, bvh_next, bvh_tri_start, bvh_tri_count,
         tri_v0, tri_v1, tri_v2, leaf_k,
     )
-    n_chunks = num_packets // CHUNK_PACKETS
-    rays = rays.reshape(n_chunks, CHUNK_PACKETS, 7, ROWS, LANES)
-    dirs = dirs.reshape(n_chunks, CHUNK_PACKETS, 3, ROWS, LANES)
-    outs = [
-        _run(rays[c], dirs[c], nbox, meta, tris, num_nodes=num_nodes,
-             pad_tri=num_tris, leaf_k=leaf_k, chains=chains,
-             interpret=interpret)
-        for c in range(n_chunks)
-    ]
-    out_t = jnp.concatenate([o[0] for o in outs], axis=0)
-    out_tri = jnp.concatenate([o[1] for o in outs], axis=0)
-    best_t = out_t.reshape(p_pad)[:p]
-    best_tri = out_tri.reshape(p_pad)[:p]
-    best_t = jnp.where(best_tri >= 0, best_t, INF)
-    return best_tri, best_t
+    best_tri, best_t = traverse_packed(
+        origin, direction, min_t0, tables, num_nodes=num_nodes,
+        num_tris=num_tris, leaf_k=leaf_k, chains=chains, interpret=interpret)
+    return best_tri[:p], best_t[:p]

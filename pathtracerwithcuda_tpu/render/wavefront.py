@@ -365,11 +365,12 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     s_tex = mat_rows[:, 20].astype(jnp.int32)
     if scene.textures.count > 0 and scene.num_triangles > 0:
         d_tex_on = is_tri & (d_tex >= 0)
-        s_tex_on = is_tri & (s_tex >= 0)
         d_sample = sample_atlas(scene.textures, d_tex, uv, config.use_bilinear)
-        s_sample = sample_atlas(scene.textures, s_tex, uv, config.use_bilinear)
         diffuse_color = jnp.where(d_tex_on[:, None], diffuse_color * d_sample, diffuse_color)
-        specular_color = jnp.where(s_tex_on[:, None], specular_color * s_sample, specular_color)
+        if scene.has_specular_tex:
+            s_tex_on = is_tri & (s_tex >= 0)
+            s_sample = sample_atlas(scene.textures, s_tex, uv, config.use_bilinear)
+            specular_color = jnp.where(s_tex_on[:, None], specular_color * s_sample, specular_color)
 
     mat_n = mat_refraction_index
     mat_k = mat_extinction
@@ -552,14 +553,26 @@ def _bounce_jit(state: RayState, scene: SceneData, config: RenderConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_k",))
-def _traverse_fixed_jit(origin, direction, bound, bvh_min, bvh_max, bvh_next,
-                        bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
-                        leaf_k: int):
-    from pathtracerwithcuda_tpu.ops.traversal_pallas import traverse_bvh_packets
+def _pack_tables_jit(scene: SceneData, leaf_k: int):
+    """Kernel table packing, ONCE per trace (the round-1 code repacked the
+    scene tables and relayouted the ray block inside every bounce's
+    traversal program — ~600 ms/bounce at 1080p)."""
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import pack_scene_tables
 
-    tri, _ = traverse_bvh_packets(
-        origin, direction, bvh_min, bvh_max, bvh_next, bvh_tri_start,
-        bvh_tri_count, tri_v0, tri_v1, tri_v2, bound, leaf_k=leaf_k,
+    return pack_scene_tables(
+        scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri_start,
+        scene.bvh_tri_count, scene.tri_v0, scene.tri_v1, scene.tri_v2, leaf_k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "num_tris", "leaf_k"))
+def _traverse_fixed_jit(origin, direction, bound, nbox, meta, tris,
+                        num_nodes: int, num_tris: int, leaf_k: int):
+    from pathtracerwithcuda_tpu.ops.traversal_pallas import traverse_packed
+
+    tri, _ = traverse_packed(
+        origin, direction, bound, (nbox, meta, tris), num_nodes=num_nodes,
+        num_tris=num_tris, leaf_k=leaf_k,
     )
     return tri
 
@@ -626,42 +639,47 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
 
     This is the TPU answer to the reference's thrust::remove_if compaction
     (Kernel/parallel_function.cu:42-49), with shapes static per bucket size.
-    Compaction is a STABLE counting sort on the 3-bit direction octant
-    (dead lanes sort to a 9th trailing bucket): within an octant the previous
-    lane order — 32x32-pixel-tile order for primaries — survives, so packets
+    Compaction is a STABLE sort on the 3-bit direction octant (dead lanes
+    sort to a 9th trailing bucket): within an octant the previous lane
+    order — 32x32-pixel-tile order for primaries — survives, so packets
     entering the Pallas traversal hold rays that start near each other AND
-    point the same way.  A full (octant, morton) lax.sort was tried and costs
-    more than it saves (~1 s on a 2M-lane wavefront); the cumsum-based
-    counting sort is a few ms and captures most of the coherence win.
+    point the same way.  A stable lax argsort of the small integer key
+    replaces round 1's onehot-cumsum counting sort + scatter: the inverse-
+    permutation scatter was the expensive part (TPU scatters serialize),
+    and sort_key_val of (key, iota) IS that inverse permutation.
 
     Padded rows duplicate lane 0; they are force-deactivated (and restart
     with zero radiance), so they trace nothing and flush nothing.
     """
     radiance_full = radiance_full.at[live_ids].add(state.radiance)
     act = state.active
-    p = act.shape[0]
     d = state.direction
     octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(jnp.int32)
     key = jnp.where(act, octant, 8)
-    onehot = (key[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]).astype(jnp.int32)
-    ranks = jnp.cumsum(onehot, axis=0)  # (P, 9) 1-based rank within bucket
-    counts = ranks[-1]
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    dest = offsets[key] + jnp.take_along_axis(ranks, key[:, None], axis=1)[:, 0] - 1
-    perm = jnp.zeros((p,), jnp.int32).at[dest].set(jnp.arange(p, dtype=jnp.int32))
-    sel = perm[:out_size]
+    sel = jnp.argsort(key, stable=True)[:out_size].astype(jnp.int32)
     valid = jnp.arange(out_size) < jnp.sum(act)
+    # ONE wide row gather instead of nine: TPU gathers pay per row, so the
+    # whole lane state (15 floats + active + the two int ids, exact in f32
+    # below 2^24) is packed into an (P, 18) matrix first — the packing is
+    # cheap streaming traffic, the gather is the expensive part.
+    packed = jnp.concatenate(
+        [state.origin, state.direction, state.throughput,
+         state.med_absorption, state.med_scattering,
+         act[:, None].astype(jnp.float32),
+         pixel_ids[:, None].astype(jnp.float32),
+         live_ids[:, None].astype(jnp.float32)], axis=1,
+    )[sel]  # (out_size, 18)
     new_state = RayState(
-        origin=state.origin[sel],
-        direction=state.direction[sel],
-        throughput=state.throughput[sel],
+        origin=packed[:, 0:3],
+        direction=packed[:, 3:6],
+        throughput=packed[:, 6:9],
         radiance=jnp.zeros((out_size, 3), jnp.float32),
-        active=act[sel] & valid,
-        med_absorption=state.med_absorption[sel],
-        med_scattering=state.med_scattering[sel],
+        active=(packed[:, 9 + 6] > 0.5) & valid,
+        med_absorption=packed[:, 9:12],
+        med_scattering=packed[:, 12:15],
     )
-    return new_state, pixel_ids[sel], live_ids[sel], radiance_full
+    return (new_state, packed[:, 16].astype(jnp.int32),
+            packed[:, 17].astype(jnp.int32), radiance_full)
 
 
 @jax.jit
@@ -697,18 +715,18 @@ def _pad_rays_shard(state, scene, p_fixed_local: int, mesh):
     return fn(state, scene)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_k", "mesh"))
-def _traverse_fixed_shard(o, d, b, bvh_min, bvh_max, bvh_next, bvh_tri_start,
-                          bvh_tri_count, tri_v0, tri_v1, tri_v2,
-                          leaf_k: int, mesh):
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "num_tris", "leaf_k", "mesh"))
+def _traverse_fixed_shard(o, d, b, nbox, meta, tris,
+                          num_nodes: int, num_tris: int, leaf_k: int, mesh):
     fn = jax.shard_map(
         lambda o_, d_, b_, *tables: _traverse_fixed_jit(
-            o_, d_, b_, *tables, leaf_k=leaf_k),
+            o_, d_, b_, *tables, num_nodes=num_nodes, num_tris=num_tris,
+            leaf_k=leaf_k),
         mesh=mesh,
-        in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS)) + (_PS(),) * 8,
+        in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS)) + (_PS(),) * 3,
         out_specs=_PS(RAY_AXIS), check_vma=False)
-    return fn(o, d, b, bvh_min, bvh_max, bvh_next, bvh_tri_start,
-              bvh_tri_count, tri_v0, tri_v1, tri_v2)
+    return fn(o, d, b, nbox, meta, tris)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "with_tri"))
@@ -799,6 +817,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
     if use_packets:
         p_fixed = ((p_local + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
+        tables = _pack_tables_jit(scene, scene.leaf_size)
 
     if mesh is None:
         state = _raygen_jit(camera, config, key, pixel_ids)
@@ -819,17 +838,14 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             if mesh is None:
                 o, d, b = _pad_rays_jit(state, scene, p_fixed)
                 tri_full = _traverse_fixed_jit(
-                    o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
-                    scene.bvh_tri_start, scene.bvh_tri_count,
-                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
-                    leaf_k=scene.leaf_size)
+                    o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
             else:
                 o, d, b = _pad_rays_shard(state, scene, p_fixed, mesh)
                 tri_full = _traverse_fixed_shard(
-                    o, d, b, scene.bvh_min, scene.bvh_max, scene.bvh_next,
-                    scene.bvh_tri_start, scene.bvh_tri_count,
-                    scene.tri_v0, scene.tri_v1, scene.tri_v2,
-                    leaf_k=scene.leaf_size, mesh=mesh)
+                    o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                    mesh=mesh)
         if mesh is None:
             if tri_full is not None:
                 state, alive = _bounce_with_tri_jit(

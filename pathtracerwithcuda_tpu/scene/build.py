@@ -256,6 +256,9 @@ def build_scene_data(host: HostScene, config: RenderConfig,
         materials=MaterialTable.from_rows(host.materials),
         textures=TextureAtlas.pack(host.textures),
         env_faces=jnp.asarray(env),
+        has_specular_tex=any(
+            int(m.get("specular_texture_id", -1)) >= 0 for m in host.materials
+        ),
     )
 
 
