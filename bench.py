@@ -34,6 +34,7 @@ PER_CHIP_TARGET = 1e9 / 16.0
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CACHE_PATH = os.path.join(ROOT, ".bench_cache.json")
 SUITE_PATH = os.path.join(ROOT, "BENCH_SUITE.json")
+COMPILE_CACHE_DIR = os.path.join(ROOT, ".jax_compilation_cache")
 TOTAL_BUDGET_S = int(os.environ.get("BENCH_WATCHDOG_S", "1400"))
 
 # name -> (worker kwargs, per-worker timeout seconds)
@@ -126,7 +127,11 @@ def measure_forward(kw, passes: int = 3):
 
 def measure_backward(kw, passes: int = 3):
     """value_and_grad of a pixel loss w.r.t. material params — the
-    differentiable path (fixed-depth scan, masked lanes)."""
+    differentiable path (fixed-depth scan, masked lanes).
+
+    Only the FLOAT material leaves are differentiated (texture ids are int32
+    and grad rejects integer inputs); same split as diff.inverse.make_train_step.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -139,27 +144,37 @@ def measure_backward(kw, passes: int = 3):
     pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
     target = jnp.zeros((config.pixel_count, 3), jnp.float32)
 
-    def loss_fn(materials):
-        sc = scene.replace(materials=materials)
+    FLOAT_FIELDS = (
+        "diffuse", "emission", "specular", "roughness",
+        "refraction_index", "extinction", "absorption", "reduced_scattering",
+    )
+    float_params = {f: getattr(scene.materials, f) for f in FLOAT_FIELDS}
+
+    def loss_fn(fp):
+        sc = scene.replace(materials=scene.materials.replace(**fp))
         rad = wavefront.trace_radiance(sc, camera, config, key, pixel_ids,
                                        differentiable=True)
         return jnp.mean(jnp.square(rad - target))
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    val, grads = grad_fn(scene.materials)
+    val, grads = grad_fn(float_params)
     jax.block_until_ready((val, grads))
     np.asarray(val)
     # fwd+bwd traces every lane at full depth (scan, no early exit)
     rays_per_call = config.pixel_count * config.max_tracer_depth
     t0 = time.perf_counter()
     for _ in range(passes):
-        val, grads = grad_fn(scene.materials)
+        val, grads = grad_fn(float_params)
     np.asarray(val)
     dt = (time.perf_counter() - t0) / passes
     return rays_per_call / dt, dt
 
 
 def run_worker(name: str) -> None:
+    # persistent compilation cache: repeat invocations of the same worker
+    # compile in seconds instead of minutes (must be set before jax import)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", COMPILE_CACHE_DIR)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     kw, _ = SUITE[name]
     fn = measure_backward if kw.get("backward") else measure_forward
     value, dt = fn(kw)
@@ -181,15 +196,44 @@ def _result_line(name: str, value: float, fresh: bool):
     }
 
 
+def _load_cache() -> dict:
+    """Validated cache load: entries must be dicts with a numeric 'value'.
+
+    Round 2 died here — a round-1 flat-format entry crashed the rewrite loop
+    AFTER the file was opened 'w', truncating the cache and skipping the
+    suite write.  Anything unrecognizable is silently dropped instead.
+    """
+    if not os.path.exists(CACHE_PATH):
+        return {}
+    try:
+        with open(CACHE_PATH) as f:
+            raw = json.load(f)
+    except Exception:
+        return {}
+    cache = {}
+    if isinstance(raw, dict):
+        for k, v in raw.items():
+            if (k in SUITE and isinstance(v, dict)
+                    and isinstance(v.get("value"), (int, float))):
+                cache[k] = {"value": float(v["value"]),
+                            "pass_s": v.get("pass_s"), "fresh": False}
+    return cache
+
+
+def _write_json(path: str, obj) -> None:
+    """Atomic write: never leaves a truncated file behind."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def main() -> None:
     deadline = time.monotonic() + TOTAL_BUDGET_S
-    cache = {}
-    if os.path.exists(CACHE_PATH):
-        try:
-            with open(CACHE_PATH) as f:
-                cache = json.load(f)
-        except Exception:
-            cache = {}
+    cache = _load_cache()
+    worker_env = dict(os.environ)
+    worker_env.setdefault("JAX_COMPILATION_CACHE_DIR", COMPILE_CACHE_DIR)
+    worker_env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
     results = {}
     order = [FLAGSHIP, "cornell_256_4spp_d4", "mesh_bvh_512", "sss_dof_1080p",
@@ -205,6 +249,7 @@ def main() -> None:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", name],
                 capture_output=True, text=True, timeout=timeout, cwd=ROOT,
+                env=worker_env,
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             if proc.returncode == 0 and line.startswith("{"):
@@ -227,6 +272,7 @@ def main() -> None:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", fb],
                     capture_output=True, text=True, timeout=fb_timeout, cwd=ROOT,
+                    env=worker_env,
                 )
                 line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
                 if proc.returncode == 0 and line.startswith("{"):
@@ -238,16 +284,21 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"[bench] {fb}: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # merge with cache (stale entries kept, marked not fresh)
+    # merge with cache (stale entries kept, marked not fresh); the suite
+    # record is written FIRST and independently so a cache failure can never
+    # eat the round's numbers again
     merged = dict(cache)
     for name, res in results.items():
         merged[name] = res
     try:
-        with open(CACHE_PATH, "w") as f:
-            json.dump({k: {**v, "fresh": False} for k, v in merged.items()}, f)
-        with open(SUITE_PATH, "w") as f:
-            json.dump({k: _result_line(k, v["value"], v.get("fresh", False))
-                       for k, v in merged.items()}, f, indent=1)
+        _write_json(SUITE_PATH, {
+            k: _result_line(k, v["value"], v.get("fresh", False))
+            for k, v in merged.items()})
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] suite write failed: {e}", file=sys.stderr)
+    try:
+        _write_json(CACHE_PATH,
+                    {k: {**v, "fresh": False} for k, v in merged.items()})
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cache write failed: {e}", file=sys.stderr)
 
