@@ -83,24 +83,30 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
     o = jnp.pad(o, ((0, p_pad - p), (0, 0)), constant_values=tp.FAR_ORIGIN)
     d = jnp.pad(d, ((0, p_pad - p), (0, 0)), constant_values=1.0)
     seed = jnp.full((p_pad,), jnp.inf)
+    seed = seed.at[p:].set(0.0)  # padded lanes are dead
 
     nbox, meta, tris = tp.pack_scene_tables(
         scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri_start,
         scene.bvh_tri_count, scene.tri_v0, scene.tri_v1, scene.tri_v2,
         scene.leaf_size)
-    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-    num_packets = p_pad // tp.PACKET
-    rays = jnp.concatenate([o, inv_d, seed[:, None]], axis=1)
-    rays = rays.reshape(num_packets, tp.ROWS, tp.LANES, 7).transpose(0, 3, 1, 2)
-    dirs = d.reshape(num_packets, tp.ROWS, tp.LANES, 3).transpose(0, 3, 1, 2)
-    nc = num_packets // tp.CHUNK_PACKETS
-    rays = rays.reshape(nc, tp.CHUNK_PACKETS, 7, tp.ROWS, tp.LANES)
-    dirs = dirs.reshape(nc, tp.CHUNK_PACKETS, 3, tp.ROWS, tp.LANES)
+    dead = seed <= 0.0
+    o = jnp.where(dead[:, None], tp.FAR_ORIGIN, o)
+    dd = jnp.where(d == 0.0, 1e-20, d)
+    inv_d = 1.0 / dd
+    nc = p_pad // chunk
+
+    def shatter(x):
+        return x.reshape(nc, tp.CHUNK_PACKETS, tp.ROWS, tp.LANES)
+
+    fields = [shatter(o[:, 0]), shatter(o[:, 1]), shatter(o[:, 2]),
+              shatter(inv_d[:, 0]), shatter(inv_d[:, 1]), shatter(inv_d[:, 2]),
+              shatter(seed),
+              shatter(dd[:, 0]), shatter(dd[:, 1]), shatter(dd[:, 2])]
 
     wo = mode == "walk_only"
 
     def run_all():
-        outs = [tp._run(rays[c], dirs[c], nbox, meta, tris,
+        outs = [tp._run([f[c] for f in fields], nbox, meta, tris,
                         num_nodes=scene.num_bvh_nodes,
                         pad_tri=scene.num_triangles,
                         leaf_k=scene.leaf_size, chains=chains,

@@ -74,6 +74,11 @@ class RenderConfig:
     # use the Pallas packet-traversal kernel on TPU when the scene tables
     # fit VMEM (ops/traversal_pallas.py); XLA while-loop walk otherwise
     use_pallas: bool = True
+    # "auto": packet kernel on TPU only; "interpret": force the packet kernel
+    # in Pallas interpret mode on any backend (tests exercise the production
+    # traversal + shard_map composition on the virtual CPU mesh); "off":
+    # never use the packet kernel even on TPU
+    pallas_mode: str = "auto"
 
     # participating medium the camera starts in ("air")
     air_refraction_index: float = 1.000293

@@ -156,9 +156,16 @@ def render_order(width: int, height: int):
     return _ORDER_CACHE[key]
 
 
+def _packet_interpret(config: RenderConfig) -> bool:
+    """Run the packet kernel in Pallas interpret mode (off-TPU test path)."""
+    return config.pallas_mode == "interpret" and jax.default_backend() != "tpu"
+
+
 def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
     """Static (trace-time) choice of the Pallas packet kernel."""
-    if not config.use_pallas or jax.default_backend() != "tpu":
+    if not config.use_pallas or config.pallas_mode == "off":
+        return False
+    if jax.default_backend() != "tpu" and not _packet_interpret(config):
         return False
     from pathtracerwithcuda_tpu.ops.traversal_pallas import (
         MAX_LEAF_K,
@@ -219,6 +226,7 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
                     scene.bvh_next, scene.bvh_tri_start, scene.bvh_tri_count,
                     scene.tri_v0, scene.tri_v1, scene.tri_v2,
                     bound, leaf_k=scene.leaf_size,
+                    interpret=_packet_interpret(config),
                 )
             else:
                 tri_idx, _ = _traverse_chunked(
@@ -565,14 +573,16 @@ def _pack_tables_jit(scene: SceneData, leaf_k: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_nodes", "num_tris", "leaf_k"))
+                   static_argnames=("num_nodes", "num_tris", "leaf_k",
+                                    "interpret"))
 def _traverse_fixed_jit(origin, direction, bound, nbox, meta, tris,
-                        num_nodes: int, num_tris: int, leaf_k: int):
+                        num_nodes: int, num_tris: int, leaf_k: int,
+                        interpret: bool = False):
     from pathtracerwithcuda_tpu.ops.traversal_pallas import traverse_packed
 
     tri, _ = traverse_packed(
         origin, direction, bound, (nbox, meta, tris), num_nodes=num_nodes,
-        num_tris=num_tris, leaf_k=leaf_k,
+        num_tris=num_tris, leaf_k=leaf_k, interpret=interpret,
     )
     return tri
 
@@ -716,13 +726,15 @@ def _pad_rays_shard(state, scene, p_fixed_local: int, mesh):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_nodes", "num_tris", "leaf_k", "mesh"))
+                   static_argnames=("num_nodes", "num_tris", "leaf_k", "mesh",
+                                    "interpret"))
 def _traverse_fixed_shard(o, d, b, nbox, meta, tris,
-                          num_nodes: int, num_tris: int, leaf_k: int, mesh):
+                          num_nodes: int, num_tris: int, leaf_k: int, mesh,
+                          interpret: bool = False):
     fn = jax.shard_map(
         lambda o_, d_, b_, *tables: _traverse_fixed_jit(
             o_, d_, b_, *tables, num_nodes=num_nodes, num_tris=num_tris,
-            leaf_k=leaf_k),
+            leaf_k=leaf_k, interpret=interpret),
         mesh=mesh,
         in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS)) + (_PS(),) * 3,
         out_specs=_PS(RAY_AXIS), check_vma=False)
@@ -816,7 +828,14 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     ladder = _bucket_ladder(p_local)
     use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
     if use_packets:
-        p_fixed = ((p_local + _COMPACT_ALIGN - 1) // _COMPACT_ALIGN) * _COMPACT_ALIGN
+        from pathtracerwithcuda_tpu.ops import traversal_pallas as _tp
+
+        # pad granularity = the kernel's fixed dispatch chunk (normally equal
+        # to _COMPACT_ALIGN; reads the module constants so tests can shrink
+        # the chunk for interpret-mode runs)
+        _chunk = _tp.CHUNK_PACKETS * _tp.PACKET
+        p_fixed = ((p_local + _chunk - 1) // _chunk) * _chunk
+        interp = _packet_interpret(config)
         tables = _pack_tables_jit(scene, scene.leaf_size)
 
     if mesh is None:
@@ -839,13 +858,14 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                 o, d, b = _pad_rays_jit(state, scene, p_fixed)
                 tri_full = _traverse_fixed_jit(
                     o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
-                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
+                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                    interpret=interp)
             else:
                 o, d, b = _pad_rays_shard(state, scene, p_fixed, mesh)
                 tri_full = _traverse_fixed_shard(
                     o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
                     num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                    mesh=mesh)
+                    mesh=mesh, interpret=interp)
         if mesh is None:
             if tri_full is not None:
                 state, alive = _bounce_with_tri_jit(
@@ -881,6 +901,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     if stats is not None:
         stats["segments"] = segments
         stats["wavefront"] = sizes
+        stats["use_packets"] = use_packets
     if mesh is None:
         return _flush_jit(radiance_full, live_ids, state.radiance)
     return _flush_shard(radiance_full, live_ids, state.radiance, mesh)
