@@ -27,6 +27,7 @@ def build_host_scene(spec: str):
         builders = {
             "flagship": examples.flagship_scene,
             "cornell": examples.cornell_spheres_scene,
+            "sss_dof": examples.sss_dof_scene,
         }
         if name not in builders:
             raise SystemExit(f"unknown example {name!r}; choices: {sorted(builders)}")

@@ -40,9 +40,15 @@ button{margin:2px;background:#333;color:#ddd;border:1px solid #555;padding:4px 1
 <div id=stats></div>
 </div>
 <div id=panel>
+<h3>scene</h3>
+<select id=scenes></select>
+<button onclick=loadScene()>load scene</button>
 <h3>materials</h3>
 <textarea id=mats></textarea>
 <button onclick=applyMats()>apply materials</button>
+<h3>transforms</h3>
+<textarea id=xforms style="height:120px"></textarea>
+<button onclick=applyXforms()>apply transforms</button>
 <button onclick=fetch('/screenshot',{method:'POST'})>screenshot</button>
 <div id=msg></div>
 </div>
@@ -72,8 +78,75 @@ async function loadMats(){
 async function applyMats(){
   const r=await fetch('/materials',{method:'POST',body:document.getElementById('mats').value});
   document.getElementById('msg').textContent=await r.text();}
-refresh();loadMats();
+async function loadXforms(){
+  document.getElementById('xforms').value=JSON.stringify(await (await fetch('/transforms')).json(),null,1);}
+async function applyXforms(){
+  const r=await fetch('/transforms',{method:'POST',body:document.getElementById('xforms').value});
+  document.getElementById('msg').textContent=await r.text();loadXforms();}
+async function loadScenes(){
+  const names=await (await fetch('/scenes')).json();
+  document.getElementById('scenes').innerHTML=
+    names.map(n=>`<option>${n}</option>`).join('');}
+async function loadScene(){
+  const r=await fetch('/scene',{method:'POST',
+    body:JSON.stringify({name:document.getElementById('scenes').value})});
+  document.getElementById('msg').textContent=await r.text();
+  loadMats();loadXforms();}
+refresh();loadMats();loadXforms();loadScenes();
 </script></body></html>"""
+
+
+def list_scenes():
+    """Scene chooser inventory (reference render_choose_scene,
+    Main/window.cpp:414): procedural examples + every scene JSON in the
+    repo's assets/ and, when mounted, the reference res/scene directory."""
+    import glob
+    import os
+
+    names = ["example:flagship", "example:cornell", "example:sss_dof"]
+    for base in ("assets/scene",
+                 "/root/reference/gpu_path_tracer/res/scene"):
+        if os.path.isdir(base):
+            names += sorted(glob.glob(os.path.join(base, "*.json")))
+    return names
+
+
+def apply_transforms(session, data) -> str:
+    """Apply a /transforms POST body: same shape the GET returns; only
+    changed fields trigger work (position/scale = refit, rotate = rebuild)."""
+    import numpy as np
+
+    applied = []
+    for m in data.get("meshes", []):
+        i = int(m["index"])
+        cur = session.host_scene.meshes[i]
+        if "rotate" in m and not np.allclose(
+                np.asarray(m["rotate"], np.float32), cur.rotate):
+            session.set_mesh_rotate(i, np.asarray(m["rotate"], np.float32))
+            applied.append(f"mesh{i}:rotate")
+        pos = m.get("position")
+        scale = m.get("scale")
+        pos_new = pos is not None and not np.allclose(
+            np.asarray(pos, np.float32), cur.position)
+        scale_new = scale is not None and not np.allclose(
+            np.asarray(scale, np.float32), cur.scale)
+        if pos_new or scale_new:
+            session.set_mesh_transform(
+                i, position=pos if pos_new else None,
+                scale=scale if scale_new else None)
+            applied.append(f"mesh{i}:transform")
+    for s in data.get("spheres", []):
+        i = int(s["index"])
+        c_new = "center" in s and not np.allclose(
+            np.asarray(s["center"], np.float32),
+            session.host_scene.sphere_centers[i])
+        r_new = "radius" in s and not np.isclose(
+            float(s["radius"]), float(session.host_scene.sphere_radii[i]))
+        if c_new or r_new:
+            session.set_sphere(i, center=s.get("center") if c_new else None,
+                               radius=s.get("radius") if r_new else None)
+            applied.append(f"sphere{i}")
+    return "applied: " + (", ".join(applied) if applied else "(no changes)")
 
 
 class ViewerState:
@@ -137,6 +210,23 @@ def make_handler(state: ViewerState):
                 self._send(200, body)
             elif path == "/materials":
                 self._send(200, json.dumps(session.host_scene.materials).encode())
+            elif path == "/transforms":
+                body = {
+                    "meshes": [
+                        {"index": i, "position": m.position.tolist(),
+                         "scale": m.scale.tolist(), "rotate": m.rotate.tolist()}
+                        for i, m in enumerate(session.host_scene.meshes)
+                    ],
+                    "spheres": [
+                        {"index": i, "center": c.tolist(), "radius": float(r)}
+                        for i, (c, r) in enumerate(zip(
+                            session.host_scene.sphere_centers,
+                            session.host_scene.sphere_radii))
+                    ],
+                }
+                self._send(200, json.dumps(body).encode())
+            elif path == "/scenes":
+                self._send(200, json.dumps(list_scenes()).encode())
             else:
                 self._send(404, b"{}")
 
@@ -169,6 +259,28 @@ def make_handler(state: ViewerState):
                         session.host_scene.materials = mats
                         session._rebuild()
                         self._send(200, b"materials applied", "text/plain")
+                        return
+                    except Exception as e:
+                        self._send(400, f"error: {e}".encode(), "text/plain")
+                        return
+                elif path == "/transforms":
+                    # mesh position/scale -> O(n) refit; rotate -> rebuild;
+                    # sphere center/radius -> direct update (the reference UI
+                    # edit surface, Core/path_tracer.cpp:109-369)
+                    try:
+                        msg = apply_transforms(session, json.loads(raw))
+                        self._send(200, msg.encode(), "text/plain")
+                        return
+                    except Exception as e:
+                        self._send(400, f"error: {e}".encode(), "text/plain")
+                        return
+                elif path == "/scene":
+                    try:
+                        from apps.render_cli import build_host_scene
+
+                        session.set_scene(build_host_scene(data["name"]))
+                        self._send(200, f"scene {data['name']} loaded".encode(),
+                                   "text/plain")
                         return
                     except Exception as e:
                         self._send(400, f"error: {e}".encode(), "text/plain")

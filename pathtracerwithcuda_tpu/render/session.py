@@ -165,6 +165,13 @@ class RenderSession:
                                       layout_out=self.layout)
         self.clear()
 
+    def set_scene(self, host_scene: HostScene) -> None:
+        """Swap the whole scene (reference scene-chooser semantics,
+        Main/window.cpp:414 → init_scene_device_data): rebuild device data
+        and reset accumulation."""
+        self.host_scene = host_scene
+        self._rebuild()
+
     # ------------------------------------------------------------------
     # checkpoint/resume (new capability; SURVEY.md §5 "checkpoint: none")
     def save_checkpoint(self, path: str) -> None:
