@@ -52,6 +52,12 @@ SUITE = {
                            depth=8), 600),
     "fwd_bwd_256": (dict(scene="flagship", width=256, height=256, spp=1,
                          depth=4, backward=True), 420),
+    # weak-scaling evidence (BASELINE.md ≥90% target): the sharded host loop
+    # on a 1-way mesh vs the unsharded loop — quantifies the shard_map tax,
+    # which is the ONLY per-chip overhead of scaling out (the forward path
+    # has zero collectives; see render/wavefront.py shard wrappers)
+    "weak_scaling_1way": (dict(scene="flagship", width=960, height=544, spp=2,
+                               depth=8, shard1=True), 600),
 }
 
 
@@ -170,13 +176,55 @@ def measure_backward(kw, passes: int = 3):
     return rays_per_call / dt, dt
 
 
+def measure_shard_overhead(kw, passes: int = 3):
+    """Weak-scaling proxy on one chip: time the unsharded host loop, then the
+    SAME workload through the shard_map-wrapped host loop on a 1-way mesh
+    (identical per-chip shapes and pallas program).  The ratio
+    unsharded/sharded is the per-chip weak-scaling efficiency upper bound:
+    with N chips each chip runs exactly this sharded program on its own pixel
+    slice with zero forward collectives, so the only scaling tax is what this
+    measures (plus one per-bounce (n_chips,) live-count readback)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracerwithcuda_tpu.parallel.mesh import make_render_mesh
+    from pathtracerwithcuda_tpu.render import wavefront
+
+    scene, camera, config = _build(kw)
+    base_key = jax.random.PRNGKey(0)
+
+    def timed(mesh):
+        accum = jnp.zeros((config.pixel_count, 3), jnp.float32)
+        accum = wavefront.render_pass_host(scene, camera, config, accum, 0,
+                                           base_key, mesh=mesh)
+        jax.block_until_ready(accum)
+        np.asarray(accum[0])
+        t0 = time.perf_counter()
+        for i in range(1, 1 + passes):
+            accum = wavefront.render_pass_host(scene, camera, config, accum,
+                                               i, base_key, mesh=mesh)
+        np.asarray(accum[0])
+        return (time.perf_counter() - t0) / passes
+
+    dt_plain = timed(None)
+    dt_shard = timed(make_render_mesh(1))
+    eff = dt_plain / dt_shard
+    return eff, dt_shard
+
+
 def run_worker(name: str) -> None:
     # persistent compilation cache: repeat invocations of the same worker
     # compile in seconds instead of minutes (must be set before jax import)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", COMPILE_CACHE_DIR)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     kw, _ = SUITE[name]
-    fn = measure_backward if kw.get("backward") else measure_forward
+    if kw.get("shard1"):
+        fn = measure_shard_overhead
+    elif kw.get("backward"):
+        fn = measure_backward
+    else:
+        fn = measure_forward
     value, dt = fn(kw)
     print(json.dumps({"name": name, "value": value, "pass_s": dt}))
 
@@ -187,7 +235,16 @@ def run_worker(name: str) -> None:
 
 
 def _result_line(name: str, value: float, fresh: bool):
-    kind = "fwd+bwd" if SUITE[name][0].get("backward") else "fwd"
+    kw = SUITE[name][0]
+    if kw.get("shard1"):
+        return {
+            "metric": f"weak-scaling efficiency, 1-way shard_map vs unsharded"
+                      f" ({name}{'' if fresh else ', cached'})",
+            "value": round(value, 4),
+            "unit": "ratio",
+            "vs_baseline": round(value / 0.9, 4),  # ≥0.9 target (BASELINE.md)
+        }
+    kind = "fwd+bwd" if kw.get("backward") else "fwd"
     return {
         "metric": f"rays/sec/chip ({kind}, {name}{'' if fresh else ', cached'})",
         "value": round(value, 1),
@@ -237,7 +294,7 @@ def main() -> None:
 
     results = {}
     order = [FLAGSHIP, "cornell_256_4spp_d4", "mesh_bvh_512", "sss_dof_1080p",
-             "fwd_bwd_256"]
+             "fwd_bwd_256", "weak_scaling_1way"]
     for name in order:
         kw, budget = SUITE[name]
         left = deadline - time.monotonic()

@@ -1,0 +1,422 @@
+"""Pallas TPU 8-wide BVH traversal kernel.
+
+Evolution of the row-packet kernel (ops/traversal_pallas.py): each sublane
+row (128 rays) still owns an independent walk, but over the 8-WIDE tree
+(bvh/wide.py) instead of the binary skip-link tree, with a small per-row
+SMEM stack replacing the skip links.  One step now tests a node's EIGHT
+child AABBs against the row's 128 rays in a single (8, 128) slab test
+(children on sublanes, rays on lanes), so a scalar sync round retires up to
+8 boxes per row — ~8x fewer sequential sync rounds than the one-node-per-row
+binary walk, at similar vector cost per retired box.  The 8-bit child hit
+masks of 4 rows pack into one 32-bit vector→scalar sync (2 syncs per
+8-row iteration).
+
+The segmented walk/drain design with best-t feedback is inherited unchanged:
+leaf children append packed (tri_start*64+count) words to per-row SMEM
+lists; when a list nears SEG_CAP the chain switches to the Möller–Trumbore
+drain (shared with the binary kernel), whose per-lane best_t tightens the
+next segment's slab prune.  Chains are processed sequentially per kernel
+instance via fori_loop (the unrolled-rows body compiles once), each chain
+running its complete segmented traversal before the next starts.
+
+Same reference contract as ops.traversal.traverse_bvh (closest hit;
+layout ancestry: Bvh/bvh.cpp:244-330, walk Kernel/path_tracer_kernel.cu:85-161).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracerwithcuda_tpu.bvh.wide import WideBVH, collapse_wide
+from pathtracerwithcuda_tpu.ops.traversal_pallas import (
+    CHUNK_PACKETS,
+    FAR_ORIGIN,
+    INF,
+    LANES,
+    MAX_LEAF_K,
+    PACKET,
+    ROWS,
+    SEG_CAP,
+    _extract_col,
+    _moller_trumbore_rows,
+    _round_up,
+    _rows_from_scalars,
+    _t8,
+)
+
+ARITY = 8
+WIDE_CHAINS = 8          # chains per kernel instance (sequential fori)
+STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
+_BIG = jnp.float32(1e30)
+
+
+def _row_bcast(tile, r: int):
+    """(8,128) chain tile, static row r -> that row broadcast to (8,128)."""
+    return jnp.broadcast_to(tile[r:r + 1, :], (ROWS, LANES))
+
+
+def _slab8(sub_t, o, inv_d, best_t):
+    """sub_t: (8 children, 8 fields [minx..maxz]) box block; o/inv_d/best_t:
+    per-row (8,128) broadcasts.  Returns (8 children, 128 rays) hit mask."""
+    def f(q):
+        return jnp.broadcast_to(sub_t[:, q:q + 1], (ROWS, LANES))
+    tx0 = (f(0) - o[0]) * inv_d[0]
+    ty0 = (f(1) - o[1]) * inv_d[1]
+    tz0 = (f(2) - o[2]) * inv_d[2]
+    tx1 = (f(3) - o[0]) * inv_d[0]
+    ty1 = (f(4) - o[1]) * inv_d[1]
+    tz1 = (f(5) - o[2]) * inv_d[2]
+    near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                      jnp.maximum(tz0, tz1))
+    return (near <= far) & (far > 0.0) & (near <= best_t)
+
+
+def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
+            seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref, out_t_ref,
+            out_tri_ref, stack_ref, list_ref, bt_ref, btri_ref, *,
+            num_wide: int, pad_tri: int, chains: int, leaf_k: int):
+    """Wide-BVH traversal; see module docstring.
+
+    meta_ref (SMEM, (8W,) i32): child slot meta (bvh/wide.py encoding:
+      0 empty, >0 child wide id + 1, <0 -(tri_start*64+count)).
+    nbox_ref (WT, 8, 128) f32: wide node w's child c box field q at
+      [w//16, q, (w%16)*8 + c]; empty slots carry never-hit boxes.
+    stack_ref (SMEM (chains, ROWS, STACK_CAP)), list_ref (SMEM
+      (chains, ROWS, SEG_CAP+ARITY+1)): per-row walk stack / drain list.
+    """
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    # per-(row-group, child) sync weights: child c of row r in group g=r%4
+    # gets 2^(8*g + c); children live on SUBLANES here.  uint32: bit 31
+    # (group 3, child 7) would overflow int32 and be dropped by the max
+    child_pow = jax.lax.broadcasted_iota(jnp.uint32, (ROWS, LANES), 0)
+
+    def chain_body(i, _):
+        o = [ox_ref[i], oy_ref[i], oz_ref[i]]
+        inv = [ix_ref[i], iy_ref[i], iz_ref[i]]
+        d = [dx_ref[i], dy_ref[i], dz_ref[i]]
+        bt_ref[0] = seed_ref[i]
+        btri_ref[0] = jnp.full((ROWS, LANES), -1, jnp.int32)
+        ob = [[_row_bcast(f, r) for f in o] for r in range(ROWS)]
+        ib = [[_row_bcast(f, r) for f in inv] for r in range(ROWS)]
+        for r in range(ROWS):
+            stack_ref[i, r, 0] = jnp.int32(0)
+
+        def outer_cond(c):
+            sps = c[:ROWS]
+            alive = sps[0] > 0
+            for r in range(1, ROWS):
+                alive = alive | (sps[r] > 0)
+            return alive
+
+        def outer_body(c):
+            # ---- walk segment
+            def wcond(cc):
+                sps, curs = cc[:ROWS], cc[ROWS:]
+                alive = (sps[0] > 0) & (curs[0] < SEG_CAP)
+                for r in range(1, ROWS):
+                    alive = alive | ((sps[r] > 0) & (curs[r] < SEG_CAP))
+                return alive
+
+            def wbody(cc):
+                sps = list(cc[:ROWS])
+                curs = list(cc[ROWS:])
+                bt_tile = bt_ref[0]
+                bits32 = []
+                stepping = []
+                nodes = []
+                for r in range(ROWS):
+                    step_r = (sps[r] > 0) & (curs[r] < SEG_CAP)
+                    top = jnp.maximum(sps[r] - 1, 0)
+                    # clamp: idle rows peek a garbage slot (the unconditional
+                    # cursor store) — keep the table reads in bounds
+                    w = jnp.clip(stack_ref[i, r, top], 0, num_wide - 1)
+                    sps[r] = sps[r] - jnp.where(step_r, 1, 0)
+                    stepping.append(step_r)
+                    nodes.append(w)
+                for g in range(2):  # row groups of 4 -> one 32-bit sync each
+                    acc = None
+                    for rg in range(4):
+                        r = g * 4 + rg
+                        w = nodes[r]
+                        tile = nbox_ref[w // 16]
+                        base = (jax.lax.rem(w, 16)) * 8
+                        sub = jax.lax.dynamic_slice(tile, (0, base), (8, 8))
+                        sub_t = _t8(sub)  # (child, field)
+                        hit = _slab8(sub_t, ob[r], ib[r],
+                                     _row_bcast(bt_tile, r))
+                        hit = hit & stepping[r]
+                        w_r = jnp.left_shift(jnp.uint32(1),
+                                             jnp.uint32(8 * rg) + child_pow)
+                        h = jnp.max(jnp.where(hit, w_r, jnp.uint32(0)), axis=1,
+                                    keepdims=True)  # (8,1) per-child any-hit
+                        acc = h if acc is None else acc + h
+                    bits32.append(jnp.sum(acc))  # ONE vector→scalar sync
+                for r in range(ROWS):
+                    bits = bits32[r // 4]
+                    w = nodes[r]
+                    for cslot in range(ARITY - 1, -1, -1):  # reverse: slot 0 pops first
+                        hit_c = (jax.lax.shift_right_logical(
+                            bits, jnp.uint32(8 * (r % 4) + cslot)) & 1) > 0
+                        m = meta_ref[w * ARITY + cslot]
+                        push = hit_c & (m > 0)
+                        leaf = hit_c & (m < 0)
+                        stack_ref[i, r, sps[r]] = m - 1
+                        sps[r] = sps[r] + jnp.where(push, 1, 0)
+                        list_ref[i, r, curs[r]] = -m
+                        curs[r] = curs[r] + jnp.where(leaf, 1, 0)
+                return tuple(sps) + tuple(curs)
+
+            init = tuple(c[:ROWS]) + tuple(jnp.int32(0) for _ in range(ROWS))
+            walked = jax.lax.while_loop(wcond, wbody, init)
+
+            # ---- drain segment (same design as the binary kernel)
+            ns = [walked[ROWS + r] for r in range(ROWS)]
+            nmax = ns[0]
+            for r in range(1, ROWS):
+                nmax = jnp.maximum(nmax, ns[r])
+
+            def mt_body(l, carry):
+                starts, counts = [], []
+                kmax = jnp.int32(0)
+                for r in range(ROWS):
+                    packed = jnp.where(
+                        l < ns[r],
+                        list_ref[i, r, jnp.minimum(l, SEG_CAP + ARITY - 1)], 0)
+                    start = packed // 64
+                    count = packed - start * 64
+                    counts.append(count)
+                    starts.append(start)
+                    kmax = jnp.maximum(kmax, count)
+
+                def k_body(k, carry2):
+                    best_t, best_tri = carry2
+                    tis = [jnp.where(k < counts[r], starts[r] + k, pad_tri)
+                           for r in range(ROWS)]
+                    cols = [
+                        _extract_col(tri_ref[ti // LANES],
+                                     jax.lax.rem(ti, LANES), lane_ids, 16)
+                        for ti in tis
+                    ]
+                    c16 = jnp.concatenate(cols, axis=1)   # (16, 8)
+                    t_lo = _t8(c16[0:8])
+                    t_hi = _t8(c16[8:16])
+                    f = [jnp.broadcast_to(t_lo[:, q:q + 1], (ROWS, LANES))
+                         for q in range(8)]
+                    f.append(jnp.broadcast_to(t_hi[:, 0:1], (ROWS, LANES)))
+                    ti_col = _rows_from_scalars(tis, row_ids, jnp.int32)
+                    return _moller_trumbore_rows(f, ti_col, best_t, best_tri,
+                                                 o, d)
+
+                return jax.lax.fori_loop(0, kmax, k_body, carry)
+
+            best_t, best_tri = jax.lax.fori_loop(
+                0, nmax, mt_body, (bt_ref[0], btri_ref[0]))
+            bt_ref[0] = best_t
+            btri_ref[0] = best_tri
+            return walked[:ROWS]
+
+        jax.lax.while_loop(outer_cond, outer_body,
+                           tuple(jnp.int32(1) for _ in range(ROWS)))
+        out_t_ref[i] = bt_ref[0]
+        out_tri_ref[i] = btri_ref[0]
+        return 0
+
+    jax.lax.fori_loop(0, chains, chain_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_wide", "pad_tri", "leaf_k",
+                                             "chains", "interpret"))
+def _run(fields, nbox, meta, tris, num_wide: int, pad_tri: int, leaf_k: int,
+         chains: int, interpret: bool = False):
+    """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
+    num_packets = fields[0].shape[0]
+    grid = num_packets // chains
+    kernel = functools.partial(_kernel, num_wide=num_wide, pad_tri=pad_tri,
+                               chains=chains, leaf_k=leaf_k)
+    block = pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_t, out_tri = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [block] * 10
+        + [
+            pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[block, block],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets, ROWS, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((chains, ROWS, STACK_CAP), jnp.int32),
+            pltpu.SMEM((chains, ROWS, SEG_CAP + ARITY + 1), jnp.int32),
+            pltpu.VMEM((1, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((1, ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, *fields, nbox, tris)
+    return out_t, out_tri
+
+
+# --------------------------------------------------------------------------
+# packing + public API
+# --------------------------------------------------------------------------
+
+_STRUCT_CACHE: dict = {}
+
+
+def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
+    """collapse_wide with a topology-keyed cache: transform refits replace
+    only bvh_min/max (scene/build.py), so the same next/start/count array
+    objects mean the same wide structure."""
+    key = (id(bvh_next), id(bvh_tri_start), bvh_next.shape[0])
+    hit = _STRUCT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    wide = collapse_wide(np.asarray(bvh_next), np.asarray(bvh_tri_start),
+                         np.asarray(bvh_tri_count))
+    if wide.max_stack > STACK_CAP:
+        raise ValueError(f"wide stack bound {wide.max_stack} > {STACK_CAP}")
+    _STRUCT_CACHE.clear()  # one live scene at a time; ids are reusable
+    _STRUCT_CACHE[key] = wide
+    return wide
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_k",))
+def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
+                     tri_v0, tri_v1, tri_v2, leaf_k: int):
+    """Device-side packing into the wide kernel table layouts.
+
+    wide_src/wide_meta: (W, 8) i32 from WideBVH (host constants are fine).
+    Returns (nbox (WT, 8, 128) f32, meta (8W,) i32, tris (TT, 16, 128) f32).
+    Boxes are gathered fresh from bvh_min/max so transform refits flow
+    through without rebuilding the wide structure.
+    """
+    if leaf_k > MAX_LEAF_K:
+        raise ValueError(f"leaf_k {leaf_k} > {MAX_LEAF_K}")
+    w = wide_src.shape[0]
+    t = tri_v0.shape[0]
+    w8 = w * ARITY
+    w8_pad = _round_up(max(w8, 1), LANES)
+    t_pad = _round_up(t + leaf_k, LANES)
+
+    src = wide_src.reshape(w8)
+    empty = src < 0
+    safe = jnp.maximum(src, 0)
+    cmin = jnp.where(empty[:, None], _BIG, bvh_min[safe])   # (w8, 3)
+    cmax = jnp.where(empty[:, None], -_BIG, bvh_max[safe])
+
+    nbox = jnp.zeros((8, w8_pad), jnp.float32)
+    nbox = nbox.at[0:3, :w8].set(cmin.T)
+    nbox = nbox.at[3:6, :w8].set(cmax.T)
+    # padding lanes beyond w8 must also never hit
+    if w8_pad > w8:
+        nbox = nbox.at[0:3, w8:].set(_BIG)
+        nbox = nbox.at[3:6, w8:].set(-_BIG)
+    nbox = nbox.reshape(8, w8_pad // LANES, LANES).transpose(1, 0, 2)
+
+    meta = wide_meta.reshape(w8)
+
+    tris = jnp.zeros((16, t_pad), jnp.float32)
+    tris = tris.at[0:3, :t].set(tri_v0.T)
+    tris = tris.at[3:6, :t].set(tri_v1.T)
+    tris = tris.at[6:9, :t].set(tri_v2.T)
+    tris = tris.reshape(16, t_pad // LANES, LANES).transpose(1, 0, 2)
+    return nbox, meta, tris
+
+
+def vmem_table_bytes(num_wide: int, num_tris: int, leaf_k: int) -> int:
+    w8_pad = _round_up(max(num_wide * ARITY, 1), LANES)
+    t_pad = _round_up(num_tris + leaf_k, LANES)
+    return 8 * w8_pad * 4 + 16 * t_pad * 4 + 2 * PACKET * 4
+
+
+def smem_meta_bytes(num_wide: int) -> int:
+    return (num_wide * ARITY * 4
+            + WIDE_CHAINS * ROWS * (STACK_CAP + SEG_CAP + ARITY + 1) * 4)
+
+
+def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,
+                         num_tris: int, leaf_k: int,
+                         chains: int = WIDE_CHAINS, interpret: bool = False):
+    """Wide-kernel analog of traversal_pallas.traverse_packed: PREPACKED
+    tables (pack_wide_tables); P must be a multiple of CHUNK_PACKETS*PACKET.
+    Returns (tri_index, t) with -1/inf for no triangle beating min_t0."""
+    nbox, meta, tris = tables
+    p = origin.shape[0]
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    min_t0 = jax.lax.stop_gradient(min_t0)
+
+    dead = min_t0 <= 0.0
+    o = jnp.where(dead[:, None], FAR_ORIGIN, origin)
+    d = jnp.where(direction == 0.0, 1e-20, direction)
+    inv_d = 1.0 / d
+
+    num_packets = p // PACKET
+    n_chunks = num_packets // CHUNK_PACKETS
+
+    def shatter(x):
+        return x.reshape(n_chunks, CHUNK_PACKETS, ROWS, LANES)
+
+    fields = [shatter(o[:, 0]), shatter(o[:, 1]), shatter(o[:, 2]),
+              shatter(inv_d[:, 0]), shatter(inv_d[:, 1]), shatter(inv_d[:, 2]),
+              shatter(min_t0),
+              shatter(d[:, 0]), shatter(d[:, 1]), shatter(d[:, 2])]
+    outs = [
+        _run([f[c] for f in fields], nbox, meta, tris, num_wide=num_wide,
+             pad_tri=num_tris, leaf_k=leaf_k, chains=chains,
+             interpret=interpret)
+        for c in range(n_chunks)
+    ]
+    out_t = jnp.concatenate([o_[0] for o_ in outs], axis=0)
+    out_tri = jnp.concatenate([o_[1] for o_ in outs], axis=0)
+    best_t = out_t.reshape(p)
+    best_tri = out_tri.reshape(p)
+    best_t = jnp.where(best_tri >= 0, best_t, INF)
+    return best_tri, best_t
+
+
+def traverse_bvh_wide(origin, direction, bvh_min, bvh_max, bvh_next,
+                      bvh_tri_start, bvh_tri_count, tri_v0, tri_v1, tri_v2,
+                      min_t0=None, *, leaf_k: int, chains: int = WIDE_CHAINS,
+                      interpret: bool = False):
+    """Drop-in wide-kernel analog of ops.traversal.traverse_bvh (collapses,
+    packs, pads, runs).  For tests and experiments; the production host loop
+    packs once per trace via wide_structure + pack_wide_tables."""
+    p = origin.shape[0]
+    num_tris = tri_v0.shape[0]
+    if min_t0 is None:
+        min_t0 = jnp.full((p,), INF)
+    if bvh_min.shape[0] == 0:
+        return jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
+
+    wide = wide_structure(bvh_next, bvh_tri_start, bvh_tri_count)
+    tables = pack_wide_tables(jnp.asarray(wide.src), jnp.asarray(wide.meta),
+                              bvh_min, bvh_max, tri_v0, tri_v1, tri_v2, leaf_k)
+
+    chunk_rays = CHUNK_PACKETS * PACKET
+    p_pad = _round_up(p, chunk_rays)
+    pad = p_pad - p
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)),
+                         constant_values=FAR_ORIGIN)
+        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        min_t0 = jnp.pad(min_t0, ((0, pad),))
+    best_tri, best_t = traverse_packed_wide(
+        origin, direction, min_t0, tables, num_wide=wide.num_wide,
+        num_tris=num_tris, leaf_k=leaf_k, chains=chains, interpret=interpret)
+    return best_tri[:p], best_t[:p]

@@ -832,9 +832,13 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
 
         # pad granularity = the kernel's fixed dispatch chunk (normally equal
         # to _COMPACT_ALIGN; reads the module constants so tests can shrink
-        # the chunk for interpret-mode runs)
+        # the chunk for interpret-mode runs).  The traversal dispatch SHRINKS
+        # with the bucket ladder (p_fixed recomputed per bounce below): the
+        # embedded pallas executable is always the same one-chunk shape, only
+        # the number of chunk dispatches in the XLA program varies — round 2
+        # padded every bounce to the full wavefront and spent ~0.5 s/trace
+        # walking dead lanes.
         _chunk = _tp.CHUNK_PACKETS * _tp.PACKET
-        p_fixed = ((p_local + _chunk - 1) // _chunk) * _chunk
         interp = _packet_interpret(config)
         tables = _pack_tables_jit(scene, scene.leaf_size)
 
@@ -854,6 +858,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         sizes.append(cur)
         tri_full = None
         if use_packets:
+            p_fixed = ((cur + _chunk - 1) // _chunk) * _chunk
             if mesh is None:
                 o, d, b = _pad_rays_jit(state, scene, p_fixed)
                 tri_full = _traverse_fixed_jit(

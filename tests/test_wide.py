@@ -1,0 +1,106 @@
+"""8-wide BVH collapse + Pallas wide-traversal kernel (interpret mode).
+
+Oracle: the XLA skip-link walk (ops/traversal.py), itself golden-tested
+against the scalar NumPy oracle — same closest-hit contract as the
+reference walk (Kernel/path_tracer_kernel.cu:85-161).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pathtracerwithcuda_tpu.ops.traversal_pallas as tp
+from pathtracerwithcuda_tpu.bvh.wide import collapse_wide, validate_wide
+from pathtracerwithcuda_tpu.ops import rng as rng_mod
+from pathtracerwithcuda_tpu.ops.raygen import generate_rays
+from pathtracerwithcuda_tpu.ops.traversal import traverse_bvh
+from pathtracerwithcuda_tpu.render.wavefront import render_order
+from pathtracerwithcuda_tpu.scene.build import build_scene_data
+from pathtracerwithcuda_tpu.scene.examples import (
+    flagship_camera,
+    flagship_config,
+    flagship_scene,
+)
+
+
+@pytest.fixture(scope="module")
+def small_flagship():
+    config = flagship_config(width=64, height=32, loop_mode="host")
+    scene = build_scene_data(flagship_scene(seg_u=24, seg_v=20), config)
+    return scene, config
+
+
+def test_collapse_invariants(small_flagship):
+    scene, _ = small_flagship
+    nxt = np.asarray(scene.bvh_next)
+    ts = np.asarray(scene.bvh_tri_start)
+    tc = np.asarray(scene.bvh_tri_count)
+    wide = collapse_wide(nxt, ts, tc)
+    assert wide.num_wide > 0
+    assert validate_wide(wide, nxt, ts, tc) == []
+    # structure cache: same topology arrays -> same object
+    from pathtracerwithcuda_tpu.ops.traversal_wide import wide_structure
+
+    w1 = wide_structure(scene.bvh_next, scene.bvh_tri_start, scene.bvh_tri_count)
+    w2 = wide_structure(scene.bvh_next, scene.bvh_tri_start, scene.bvh_tri_count)
+    assert w1 is w2
+
+
+def test_wide_kernel_matches_xla_walk(small_flagship, monkeypatch):
+    scene, config = small_flagship
+    monkeypatch.setattr(tp, "CHUNK_PACKETS", 2)
+    from pathtracerwithcuda_tpu.ops.traversal_wide import traverse_bvh_wide
+
+    camera = flagship_camera(64, 32)
+    order, _ = render_order(64, 32)
+    pids = jnp.asarray(order)
+    key = rng_mod.pass_key(jax.random.PRNGKey(0), 0)
+    u = rng_mod.raygen_uniforms(key, pids)
+    o, d = generate_rays(camera, pids, u, config.use_anti_alias)
+
+    ref_tri, ref_t = traverse_bvh(
+        o, d, scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        jnp.full((o.shape[0],), jnp.inf))
+    got_tri, got_t = traverse_bvh_wide(
+        o, d, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+        scene.bvh_tri_start, scene.bvh_tri_count,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        leaf_k=scene.leaf_size, chains=2, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_tri), np.asarray(ref_tri))
+    finite = np.isfinite(np.asarray(ref_t))
+    np.testing.assert_allclose(np.asarray(got_t)[finite],
+                               np.asarray(ref_t)[finite], rtol=1e-5, atol=1e-5)
+
+
+def test_wide_kernel_seed_bound_and_dead_lanes(small_flagship, monkeypatch):
+    """Dead lanes (seed 0) return no hit; a finite seed bound prunes hits
+    beyond it (the sphere-bound contract of the host loop)."""
+    scene, config = small_flagship
+    monkeypatch.setattr(tp, "CHUNK_PACKETS", 2)
+    from pathtracerwithcuda_tpu.ops.traversal_wide import traverse_bvh_wide
+
+    camera = flagship_camera(64, 32)
+    order, _ = render_order(64, 32)
+    pids = jnp.asarray(order)
+    key = rng_mod.pass_key(jax.random.PRNGKey(0), 0)
+    u = rng_mod.raygen_uniforms(key, pids)
+    o, d = generate_rays(camera, pids, u, config.use_anti_alias)
+    p = o.shape[0]
+
+    ref_tri, ref_t = traverse_bvh(
+        o, d, scene.bvh_min, scene.bvh_max, scene.bvh_next, scene.bvh_tri,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2, jnp.full((p,), jnp.inf))
+
+    bound = jnp.where(jnp.arange(p) % 3 == 0, 0.0, jnp.inf)  # every 3rd dead
+    got_tri, _ = traverse_bvh_wide(
+        o, d, scene.bvh_min, scene.bvh_max, scene.bvh_next,
+        scene.bvh_tri_start, scene.bvh_tri_count,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2, bound,
+        leaf_k=scene.leaf_size, chains=2, interpret=True)
+    got_tri = np.asarray(got_tri)
+    dead = np.arange(p) % 3 == 0
+    assert (got_tri[dead] == -1).all()
+    np.testing.assert_array_equal(got_tri[~dead], np.asarray(ref_tri)[~dead])
