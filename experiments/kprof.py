@@ -4,9 +4,10 @@ One variant per process (pallas shape/program poison on the axon tunnel):
 
   python -u -c "import sys; sys.argv=['x','<rays>','<mode>']; exec(open('experiments/kprof.py').read())"
 
-rays: primary | bounce     mode: full | walk_only
+rays: primary | bounce     mode: full | walk_only | wide
 (bounce = primary hit points + random directions, octant-sorted like the
-production repack — a realistic depth-1 incoherent load)
+production repack — a realistic depth-1 incoherent load; mode=wide runs the
+8-wide kernel of ops/traversal_wide.py instead of the binary row-packet one)
 """
 
 import sys
@@ -105,14 +106,33 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
 
     wo = mode == "walk_only"
 
-    def run_all():
-        outs = [tp._run([f[c] for f in fields], nbox, meta, tris,
-                        num_nodes=scene.num_bvh_nodes,
-                        pad_tri=scene.num_triangles,
-                        leaf_k=scene.leaf_size, chains=chains,
-                        walk_only=wo)
-                for c in range(nc)]
-        return outs[-1][0]
+    if mode == "wide":
+        from pathtracerwithcuda_tpu.ops import traversal_wide as twd
+
+        wide = twd.wide_structure(scene.bvh_next, scene.bvh_tri_start,
+                                  scene.bvh_tri_count)
+        wnbox, wmeta, wtris = twd.pack_wide_tables(
+            jnp.asarray(wide.src), jnp.asarray(wide.meta),
+            scene.bvh_min, scene.bvh_max,
+            scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.leaf_size)
+        print(f"wide nodes {wide.num_wide} stack {wide.max_stack}", flush=True)
+
+        def run_all():
+            outs = [twd._run([f[c] for f in fields], wnbox, wmeta, wtris,
+                             num_wide=wide.num_wide,
+                             pad_tri=scene.num_triangles,
+                             leaf_k=scene.leaf_size, chains=chains)
+                    for c in range(nc)]
+            return outs[-1][0]
+    else:
+        def run_all():
+            outs = [tp._run([f[c] for f in fields], nbox, meta, tris,
+                            num_nodes=scene.num_bvh_nodes,
+                            pad_tri=scene.num_triangles,
+                            leaf_k=scene.leaf_size, chains=chains,
+                            walk_only=wo)
+                    for c in range(nc)]
+            return outs[-1][0]
 
     x = run_all()
     jax.block_until_ready(x)

@@ -79,6 +79,11 @@ class RenderConfig:
     # traversal + shard_map composition on the virtual CPU mesh); "off":
     # never use the packet kernel even on TPU
     pallas_mode: str = "auto"
+    # which Pallas traversal kernel the host loop dispatches:
+    # "wide" = 8-wide BVH row walk (ops/traversal_wide.py; ~2.4x the binary
+    # kernel on coherent loads, measured v5e), "row" = binary skip-link
+    # row-packet walk (ops/traversal_pallas.py)
+    traversal_kernel: str = "wide"
 
     # participating medium the camera starts in ("air")
     air_refraction_index: float = 1.000293

@@ -94,10 +94,11 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
     """
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
-    # per-(row-group, child) sync weights: child c of row r in group g=r%4
-    # gets 2^(8*g + c); children live on SUBLANES here.  uint32: bit 31
-    # (group 3, child 7) would overflow int32 and be dropped by the max
-    child_pow = jax.lax.broadcasted_iota(jnp.uint32, (ROWS, LANES), 0)
+    # per-(row-in-group, child) sync weights: child c of the g-th row pair's
+    # row rg gets 2^(8*rg + c) — 16 bits per sync, packed in int32 (Mosaic
+    # cannot reduce unsigned ints, and bit 31 in int32 goes negative and is
+    # dropped by the max)
+    child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
 
     def chain_body(i, _):
         o = [ox_ref[i], oy_ref[i], oz_ref[i]]
@@ -142,30 +143,32 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                     sps[r] = sps[r] - jnp.where(step_r, 1, 0)
                     stepping.append(step_r)
                     nodes.append(w)
-                for g in range(2):  # row groups of 4 -> one 32-bit sync each
+                for g in range(4):  # row pairs -> one 16-bit sync each
                     acc = None
-                    for rg in range(4):
-                        r = g * 4 + rg
+                    for rg in range(2):
+                        r = g * 2 + rg
                         w = nodes[r]
                         tile = nbox_ref[w // 16]
                         base = (jax.lax.rem(w, 16)) * 8
-                        sub = jax.lax.dynamic_slice(tile, (0, base), (8, 8))
+                        # dynamic lane extraction: Mosaic lowers roll with a
+                        # traced shift natively (verified exact on v5e);
+                        # dynamic_slice on values is not lowered at all
+                        sub = pltpu.roll(tile, -base, axis=1)[:, :8]
                         sub_t = _t8(sub)  # (child, field)
                         hit = _slab8(sub_t, ob[r], ib[r],
                                      _row_bcast(bt_tile, r))
                         hit = hit & stepping[r]
-                        w_r = jnp.left_shift(jnp.uint32(1),
-                                             jnp.uint32(8 * rg) + child_pow)
-                        h = jnp.max(jnp.where(hit, w_r, jnp.uint32(0)), axis=1,
+                        w_r = jnp.left_shift(jnp.int32(1), 8 * rg + child_pow)
+                        h = jnp.max(jnp.where(hit, w_r, 0), axis=1,
                                     keepdims=True)  # (8,1) per-child any-hit
                         acc = h if acc is None else acc + h
                     bits32.append(jnp.sum(acc))  # ONE vector→scalar sync
                 for r in range(ROWS):
-                    bits = bits32[r // 4]
+                    bits = bits32[r // 2]
                     w = nodes[r]
                     for cslot in range(ARITY - 1, -1, -1):  # reverse: slot 0 pops first
                         hit_c = (jax.lax.shift_right_logical(
-                            bits, jnp.uint32(8 * (r % 4) + cslot)) & 1) > 0
+                            bits, jnp.int32(8 * (r % 2) + cslot)) & 1) > 0
                         m = meta_ref[w * ARITY + cslot]
                         push = hit_c & (m > 0)
                         leaf = hit_c & (m < 0)

@@ -587,6 +587,48 @@ def _traverse_fixed_jit(origin, direction, bound, nbox, meta, tris,
     return tri
 
 
+@functools.partial(jax.jit, static_argnames=("leaf_k",))
+def _pack_wide_tables_jit(wide_src, wide_meta, scene: SceneData, leaf_k: int):
+    from pathtracerwithcuda_tpu.ops.traversal_wide import pack_wide_tables
+
+    return pack_wide_tables(
+        wide_src, wide_meta, scene.bvh_min, scene.bvh_max,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2, leaf_k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_wide", "num_tris", "leaf_k",
+                                    "interpret"))
+def _traverse_wide_jit(origin, direction, bound, nbox, meta, tris,
+                       num_wide: int, num_tris: int, leaf_k: int,
+                       interpret: bool = False):
+    from pathtracerwithcuda_tpu.ops.traversal_wide import traverse_packed_wide
+
+    tri, _ = traverse_packed_wide(
+        origin, direction, bound, (nbox, meta, tris), num_wide=num_wide,
+        num_tris=num_tris, leaf_k=leaf_k, interpret=interpret,
+    )
+    return tri
+
+
+def _wide_ok(scene: SceneData, config: RenderConfig):
+    """Host-context gate for the wide kernel (needs concrete topology arrays
+    for the collapse; returns the WideBVH when usable, else None)."""
+    if config.traversal_kernel != "wide":
+        return None
+    from pathtracerwithcuda_tpu.ops import traversal_wide as _tw
+
+    wide = _tw.wide_structure(scene.bvh_next, scene.bvh_tri_start,
+                              scene.bvh_tri_count)
+    ok = (
+        wide.max_stack <= _tw.STACK_CAP
+        and _tw.vmem_table_bytes(wide.num_wide, scene.num_triangles,
+                                 scene.leaf_size) < _PALLAS_VMEM_BUDGET
+        and _tw.smem_meta_bytes(wide.num_wide) < _PALLAS_SMEM_BUDGET
+    )
+    return wide if ok else None
+
+
 @functools.partial(jax.jit, static_argnames=("p_fixed",))
 def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
     """Sphere-seed traversal bounds, then pad rays to the fixed size with
@@ -741,6 +783,22 @@ def _traverse_fixed_shard(o, d, b, nbox, meta, tris,
     return fn(o, d, b, nbox, meta, tris)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("num_wide", "num_tris", "leaf_k", "mesh",
+                                    "interpret"))
+def _traverse_wide_shard(o, d, b, nbox, meta, tris,
+                         num_wide: int, num_tris: int, leaf_k: int, mesh,
+                         interpret: bool = False):
+    fn = jax.shard_map(
+        lambda o_, d_, b_, *tables: _traverse_wide_jit(
+            o_, d_, b_, *tables, num_wide=num_wide, num_tris=num_tris,
+            leaf_k=leaf_k, interpret=interpret),
+        mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS)) + (_PS(),) * 3,
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(o, d, b, nbox, meta, tris)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "with_tri"))
 def _bounce_shard(state, scene, config: RenderConfig, key, depth, pixel_ids,
                   tri_full, mesh, with_tri: bool):
@@ -840,7 +898,13 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         # walking dead lanes.
         _chunk = _tp.CHUNK_PACKETS * _tp.PACKET
         interp = _packet_interpret(config)
-        tables = _pack_tables_jit(scene, scene.leaf_size)
+        wide = _wide_ok(scene, config)
+        if wide is not None:
+            tables = _pack_wide_tables_jit(
+                jnp.asarray(wide.src), jnp.asarray(wide.meta), scene,
+                scene.leaf_size)
+        else:
+            tables = _pack_tables_jit(scene, scene.leaf_size)
 
     if mesh is None:
         state = _raygen_jit(camera, config, key, pixel_ids)
@@ -861,16 +925,28 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             p_fixed = ((cur + _chunk - 1) // _chunk) * _chunk
             if mesh is None:
                 o, d, b = _pad_rays_jit(state, scene, p_fixed)
-                tri_full = _traverse_fixed_jit(
-                    o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
-                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                    interpret=interp)
+                if wide is not None:
+                    tri_full = _traverse_wide_jit(
+                        o, d, b, *tables, num_wide=wide.num_wide,
+                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                        interpret=interp)
+                else:
+                    tri_full = _traverse_fixed_jit(
+                        o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                        interpret=interp)
             else:
                 o, d, b = _pad_rays_shard(state, scene, p_fixed, mesh)
-                tri_full = _traverse_fixed_shard(
-                    o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
-                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                    mesh=mesh, interpret=interp)
+                if wide is not None:
+                    tri_full = _traverse_wide_shard(
+                        o, d, b, *tables, num_wide=wide.num_wide,
+                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                        mesh=mesh, interpret=interp)
+                else:
+                    tri_full = _traverse_fixed_shard(
+                        o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                        mesh=mesh, interpret=interp)
         if mesh is None:
             if tri_full is not None:
                 state, alive = _bounce_with_tri_jit(

@@ -146,13 +146,15 @@ def _blob_scene(seed=5, n=150, width=16, height=8, **config_kw):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_host_loop_sharded_packet_kernel_interpret(monkeypatch):
+@pytest.mark.parametrize("tkernel", ["wide", "row"])
+def test_host_loop_sharded_packet_kernel_interpret(monkeypatch, tkernel):
     """The PRODUCTION Pallas path under shard_map — packet traversal in
     interpret mode per virtual chip — must match both the single-device
     packet loop (bit-identical) and the XLA-walk loop (same closest hits).
 
-    This is the only way to execute _traverse_fixed_shard without multi-chip
-    TPU hardware (VERDICT r2 weak #5)."""
+    This is the only way to execute _traverse_fixed_shard /
+    _traverse_wide_shard without multi-chip TPU hardware (VERDICT r2 weak #5).
+    Covers both Pallas traversal kernels (config.traversal_kernel)."""
     from pathtracerwithcuda_tpu.ops import traversal_pallas as tp
     from pathtracerwithcuda_tpu.render.wavefront import trace_radiance_host
 
@@ -165,7 +167,7 @@ def test_host_loop_sharded_packet_kernel_interpret(monkeypatch):
 
     xla_ref = np.asarray(trace_radiance_host(scene, cam, config, key))
 
-    pconfig = config.replace(pallas_mode="interpret")
+    pconfig = config.replace(pallas_mode="interpret", traversal_kernel=tkernel)
     stats = {}
     single = np.asarray(
         trace_radiance_host(scene, cam, pconfig, key, stats=stats))
