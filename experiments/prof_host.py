@@ -48,12 +48,26 @@ def main(width=1920, height=1080, spp=1):
     p = int(all_pixel_ids.shape[0])
     ladder = wf._bucket_ladder(p)
     chunk = _tp.CHUNK_PACKETS * _tp.PACKET
-    p_fixed = (p + chunk - 1) // chunk * chunk
     use_packets = wf._use_packet_kernel(scene, config)
-    print(f"pixels={p} p_fixed={p_fixed} ladder={ladder} packets={use_packets}",
-          flush=True)
-    tables = wf._pack_tables_jit(scene, scene.leaf_size)
+    wide = wf._wide_ok(scene, config) if use_packets else None
+    print(f"pixels={p} ladder={ladder} packets={use_packets} "
+          f"kernel={'wide' if wide is not None else 'row'}", flush=True)
+    if wide is not None:
+        tables = wf._pack_wide_tables_jit(
+            jnp.asarray(wide.src), jnp.asarray(wide.meta), scene,
+            scene.leaf_size)
+    else:
+        tables = wf._pack_tables_jit(scene, scene.leaf_size)
     fence(tables)
+
+    def traverse(o, d, b):
+        if wide is not None:
+            return wf._traverse_wide_jit(
+                o, d, b, *tables, num_wide=wide.num_wide,
+                num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
+        return wf._traverse_fixed_jit(
+            o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+            num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
 
     def one_pass(fenced: bool, record=None):
         t_all0 = time.perf_counter()
@@ -69,15 +83,14 @@ def main(width=1920, height=1080, spp=1):
             radiance_full = jnp.zeros((p, 3), jnp.float32)
             cur = p
             for depth in range(config.max_tracer_depth):
+                p_fixed = (cur + chunk - 1) // chunk * chunk
                 t0 = time.perf_counter()
                 o, d, b = wf._pad_rays_jit(state, scene, p_fixed)
                 if fenced:
                     fence(b)
                     record["pad"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                tri_full = wf._traverse_fixed_jit(
-                    o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
-                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size)
+                tri_full = traverse(o, d, b)
                 if fenced:
                     fence(tri_full)
                     record[f"traverse_d{depth}"] += time.perf_counter() - t0

@@ -84,6 +84,11 @@ class RenderConfig:
     # kernel on coherent loads, measured v5e), "row" = binary skip-link
     # row-packet walk (ops/traversal_pallas.py)
     traversal_kernel: str = "wide"
+    # compaction sort key between bounces (render/wavefront._repack_jit):
+    # "octant" = 3-bit direction octant; "cell_octant" = coarse origin cell
+    # (4^3 grid over the scene box) then octant — clusters ray ORIGINS first
+    # so a 128-ray row shares subtrees, not just a direction sign pattern
+    repack_key: str = "octant"
 
     # participating medium the camera starts in ("air")
     air_refraction_index: float = 1.000293

@@ -682,9 +682,11 @@ def _bucket_for(count: int, cur: int, ladder) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("out_size",), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnames=("out_size", "key_mode"),
+                   donate_argnums=(3,))
 def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
-                out_size: int):
+                out_size: int, key_mode: str = "octant", box_lo=None,
+                box_hi=None):
     """Flush lane radiance into the full-res buffer, then compact the active
     lanes into a dense wavefront of `out_size` lanes, grouped by direction
     octant.
@@ -707,7 +709,18 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
     act = state.active
     d = state.direction
     octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(jnp.int32)
-    key = jnp.where(act, octant, 8)
+    if key_mode == "cell_octant":
+        # coarse origin cell first (4^3 grid over the scene box), octant
+        # within the cell: rows then share SUBTREES, not just direction
+        # signs — config.repack_key
+        g = 4
+        span = jnp.maximum(box_hi - box_lo, 1e-6)
+        c = jnp.clip(((state.origin - box_lo) / span * g).astype(jnp.int32),
+                     0, g - 1)
+        cell = (c[:, 0] * g + c[:, 1]) * g + c[:, 2]
+        key = jnp.where(act, cell * 8 + octant, g * g * g * 8)
+    else:
+        key = jnp.where(act, octant, 8)
     sel = jnp.argsort(key, stable=True)[:out_size].astype(jnp.int32)
     valid = jnp.arange(out_size) < jnp.sum(act)
     # ONE wide row gather instead of nine: TPU gathers pay per row, so the
@@ -819,15 +832,17 @@ def _bounce_shard(state, scene, config: RenderConfig, key, depth, pixel_ids,
     return fn(state, scene, key, depth, pixel_ids, tri_full)
 
 
-@functools.partial(jax.jit, static_argnames=("out_size_local", "mesh"),
+@functools.partial(jax.jit,
+                   static_argnames=("out_size_local", "key_mode", "mesh"),
                    donate_argnums=(3,))
 def _repack_shard(state, pixel_ids, live_ids, radiance_full,
-                  out_size_local: int, mesh):
+                  out_size_local: int, key_mode: str, box_lo, box_hi, mesh):
     fn = jax.shard_map(
-        lambda s, p_, l, r: _repack_jit(s, p_, l, r, out_size_local),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4,
+        lambda s, p_, l, r, lo, hi: _repack_jit(
+            s, p_, l, r, out_size_local, key_mode, lo, hi),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4 + (_PS(), _PS()),
         out_specs=(_PS(RAY_AXIS),) * 4, check_vma=False)
-    return fn(state, pixel_ids, live_ids, radiance_full)
+    return fn(state, pixel_ids, live_ids, radiance_full, box_lo, box_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
@@ -906,6 +921,19 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         else:
             tables = _pack_tables_jit(scene, scene.leaf_size)
 
+    if config.repack_key == "cell_octant":
+        if scene.num_bvh_nodes > 0:
+            box_lo = jnp.min(scene.bvh_min, axis=0)
+            box_hi = jnp.max(scene.bvh_max, axis=0)
+        elif scene.num_spheres > 0:
+            box_lo = jnp.min(scene.sphere_center - scene.sphere_radius[:, None], axis=0)
+            box_hi = jnp.max(scene.sphere_center + scene.sphere_radius[:, None], axis=0)
+        else:
+            box_lo = jnp.zeros((3,), jnp.float32)
+            box_hi = jnp.ones((3,), jnp.float32)
+    else:
+        box_lo = box_hi = jnp.zeros((3,), jnp.float32)
+
     if mesh is None:
         state = _raygen_jit(camera, config, key, pixel_ids)
         live_ids = jnp.arange(p, dtype=jnp.int32)
@@ -974,10 +1002,12 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             bucket = _bucket_for(count_max, cur, ladder)
             if mesh is None:
                 state, pixel_ids, live_ids, radiance_full = _repack_jit(
-                    state, pixel_ids, live_ids, radiance_full, bucket)
+                    state, pixel_ids, live_ids, radiance_full, bucket,
+                    config.repack_key, box_lo, box_hi)
             else:
                 state, pixel_ids, live_ids, radiance_full = _repack_shard(
-                    state, pixel_ids, live_ids, radiance_full, bucket, mesh)
+                    state, pixel_ids, live_ids, radiance_full, bucket,
+                    config.repack_key, box_lo, box_hi, mesh)
             cur = bucket
     if stats is not None:
         stats["segments"] = segments

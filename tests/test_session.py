@@ -183,3 +183,24 @@ def test_lbvh_configured_scene_renders_identically():
     s_sah.render()
     s_lbvh.render()
     assert np.allclose(np.asarray(s_sah.accum), np.asarray(s_lbvh.accum), atol=1e-5)
+
+
+def test_repack_key_modes_render_identically():
+    """Lane placement is invisible to the image (RNG keyed on global pixel
+    id): the cell_octant compaction key must produce the same accumulation
+    as the octant key (config.repack_key)."""
+    import jax
+
+    from pathtracerwithcuda_tpu.ops import rng as rng_mod
+    from pathtracerwithcuda_tpu.render.wavefront import trace_radiance_host
+
+    s_oct = _session()
+    s_cell = _session()
+    key = rng_mod.pass_key(jax.random.PRNGKey(3), 0)
+    cfg_host = s_oct.config.replace(loop_mode="host")
+    a = np.asarray(trace_radiance_host(s_oct.scene, s_oct.camera.get_render_camera(),
+                                       cfg_host, key))
+    cfg_cell = cfg_host.replace(repack_key="cell_octant")
+    b = np.asarray(trace_radiance_host(s_cell.scene, s_cell.camera.get_render_camera(),
+                                       cfg_cell, key))
+    assert np.array_equal(a, b)
