@@ -279,22 +279,36 @@ def _run(fields, nbox, meta, tris, num_wide: int, pad_tri: int, leaf_k: int,
 # --------------------------------------------------------------------------
 
 _STRUCT_CACHE: dict = {}
+_STRUCT_IDS: dict = {}
 
 
 def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
-    """collapse_wide with a topology-keyed cache: transform refits replace
-    only bvh_min/max (scene/build.py), so the same next/start/count array
-    objects mean the same wide structure."""
-    key = (id(bvh_next), id(bvh_tri_start), bvh_next.shape[0])
-    hit = _STRUCT_CACHE.get(key)
+    """collapse_wide with a topology-keyed cache.
+
+    Transform refits replace only bvh_min/max semantically, but the refit
+    jit returns a fresh buffer for EVERY SceneData leaf, so object identity
+    is only a fast path; the durable key is a content hash of the topology
+    arrays (~90 KB readback, sub-ms — vs a ~50 ms collapse)."""
+    fast = (id(bvh_next), id(bvh_tri_start), id(bvh_tri_count))
+    hit = _STRUCT_IDS.get(fast)
     if hit is not None:
         return hit
-    wide = collapse_wide(np.asarray(bvh_next), np.asarray(bvh_tri_start),
-                         np.asarray(bvh_tri_count))
-    if wide.max_stack > STACK_CAP:
-        raise ValueError(f"wide stack bound {wide.max_stack} > {STACK_CAP}")
-    _STRUCT_CACHE.clear()  # one live scene at a time; ids are reusable
-    _STRUCT_CACHE[key] = wide
+    nxt = np.asarray(bvh_next)
+    ts = np.asarray(bvh_tri_start)
+    tc = np.asarray(bvh_tri_count)
+    key = (nxt.shape[0], hash(nxt.tobytes()), hash(ts.tobytes()),
+           hash(tc.tobytes()))
+    wide = _STRUCT_CACHE.get(key)
+    if wide is None:
+        wide = collapse_wide(nxt, ts, tc)
+        if wide.max_stack > STACK_CAP:
+            raise ValueError(f"wide stack bound {wide.max_stack} > {STACK_CAP}")
+        if len(_STRUCT_CACHE) > 8:  # a handful of live scenes at most
+            _STRUCT_CACHE.clear()
+        _STRUCT_CACHE[key] = wide
+    if len(_STRUCT_IDS) > 64:
+        _STRUCT_IDS.clear()
+    _STRUCT_IDS[fast] = wide
     return wide
 
 

@@ -104,3 +104,46 @@ def test_wide_kernel_seed_bound_and_dead_lanes(small_flagship, monkeypatch):
     dead = np.arange(p) % 3 == 0
     assert (got_tri[dead] == -1).all()
     np.testing.assert_array_equal(got_tri[~dead], np.asarray(ref_tri)[~dead])
+
+
+def test_wide_kernel_after_transform_refit(monkeypatch):
+    """Transform refits replace only bvh_min/max; the wide STRUCTURE cache
+    must hit (topology unchanged) while the kernel tables pick up the new
+    boxes — wide traversal of the refit scene must match the XLA walk."""
+    from pathtracerwithcuda_tpu.ops.traversal_wide import (
+        traverse_bvh_wide,
+        wide_structure,
+    )
+    from pathtracerwithcuda_tpu.scene.build import apply_mesh_transform
+
+    monkeypatch.setattr(tp, "CHUNK_PACKETS", 2)
+    config = flagship_config(width=64, height=32, loop_mode="host")
+    layouts = []
+    scene = build_scene_data(flagship_scene(seg_u=24, seg_v=20), config,
+                             layout_out=layouts)
+    torus = layouts[2]  # the torus mesh
+    s_before = wide_structure(scene.bvh_next, scene.bvh_tri_start,
+                              scene.bvh_tri_count)
+    scene2 = apply_mesh_transform(scene, torus, position=(0.6, 2.0, -0.4),
+                                  scale=(1.3, 1.3, 1.3))
+    s_after = wide_structure(scene2.bvh_next, scene2.bvh_tri_start,
+                             scene2.bvh_tri_count)
+    assert s_after is s_before  # topology arrays unchanged -> cache hit
+
+    camera = flagship_camera(64, 32)
+    order, _ = render_order(64, 32)
+    pids = jnp.asarray(order)
+    key = rng_mod.pass_key(jax.random.PRNGKey(1), 0)
+    u = rng_mod.raygen_uniforms(key, pids)
+    o, d = generate_rays(camera, pids, u, config.use_anti_alias)
+
+    ref_tri, _ = traverse_bvh(
+        o, d, scene2.bvh_min, scene2.bvh_max, scene2.bvh_next, scene2.bvh_tri,
+        scene2.tri_v0, scene2.tri_v1, scene2.tri_v2,
+        jnp.full((o.shape[0],), jnp.inf))
+    got_tri, _ = traverse_bvh_wide(
+        o, d, scene2.bvh_min, scene2.bvh_max, scene2.bvh_next,
+        scene2.bvh_tri_start, scene2.bvh_tri_count,
+        scene2.tri_v0, scene2.tri_v1, scene2.tri_v2,
+        leaf_k=scene2.leaf_size, chains=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_tri), np.asarray(ref_tri))
