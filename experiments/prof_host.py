@@ -37,6 +37,10 @@ def fence(x):
 def main(width=1920, height=1080, spp=1):
     config = flagship_config(width=width, height=height, max_tracer_depth=8,
                              spp_per_pass=spp, loop_mode="host")
+    if os.environ.get("PT_REPACK_KEY"):
+        config = config.replace(repack_key=os.environ["PT_REPACK_KEY"])
+    if os.environ.get("PT_TRAVERSAL_KERNEL"):
+        config = config.replace(traversal_kernel=os.environ["PT_TRAVERSAL_KERNEL"])
     scene = build_scene_data(flagship_scene(), config)
     camera = flagship_camera(width, height)
     order, _ = wf.render_order(config.width, config.height)
@@ -46,9 +50,10 @@ def main(width=1920, height=1080, spp=1):
     from pathtracerwithcuda_tpu.ops import traversal_pallas as _tp
 
     p = int(all_pixel_ids.shape[0])
-    ladder = wf._bucket_ladder(p)
     chunk = _tp.CHUNK_PACKETS * _tp.PACKET
     use_packets = wf._use_packet_kernel(scene, config)
+    ladder = wf._bucket_ladder(
+        (p + chunk - 1) // chunk * chunk if use_packets else p)
     wide = wf._wide_ok(scene, config) if use_packets else None
     print(f"pixels={p} ladder={ladder} packets={use_packets} "
           f"kernel={'wide' if wide is not None else 'row'}", flush=True)
@@ -59,6 +64,12 @@ def main(width=1920, height=1080, spp=1):
     else:
         tables = wf._pack_tables_jit(scene, scene.leaf_size)
     fence(tables)
+
+    if config.repack_key == "cell_octant":
+        box_lo = jnp.min(scene.bvh_min, axis=0)
+        box_hi = jnp.max(scene.bvh_max, axis=0)
+    else:
+        box_lo = box_hi = jnp.zeros((3,), jnp.float32)
 
     def traverse(o, d, b):
         if wide is not None:
@@ -81,16 +92,19 @@ def main(width=1920, height=1080, spp=1):
                 record["raygen"] += time.perf_counter() - t0
             live_ids = jnp.arange(p, dtype=jnp.int32)
             radiance_full = jnp.zeros((p, 3), jnp.float32)
-            cur = p
+            p_state = (p + chunk - 1) // chunk * chunk
+            if p_state != p:
+                state, pixel_ids, live_ids = wf._pad_state_jit(
+                    state, pixel_ids, live_ids, p_state)
+            cur = p_state
             for depth in range(config.max_tracer_depth):
-                p_fixed = (cur + chunk - 1) // chunk * chunk
                 t0 = time.perf_counter()
-                o, d, b = wf._pad_rays_jit(state, scene, p_fixed)
+                b = wf._seed_bound_jit(state, scene)
                 if fenced:
                     fence(b)
                     record["pad"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                tri_full = traverse(o, d, b)
+                tri_full = traverse(state.origin, state.direction, b)
                 if fenced:
                     fence(tri_full)
                     record[f"traverse_d{depth}"] += time.perf_counter() - t0
@@ -108,7 +122,8 @@ def main(width=1920, height=1080, spp=1):
                     bucket = wf._bucket_for(count, cur, ladder)
                     t0 = time.perf_counter()
                     state, pixel_ids, live_ids, radiance_full = wf._repack_jit(
-                        state, pixel_ids, live_ids, radiance_full, bucket)
+                        state, pixel_ids, live_ids, radiance_full, bucket,
+                        config.repack_key, box_lo, box_hi)
                     if fenced:
                         fence(radiance_full)
                         record["repack"] += time.perf_counter() - t0

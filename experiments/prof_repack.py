@@ -8,7 +8,8 @@ Measures, at production wavefront sizes:
 Usage: python -u experiments/prof_repack.py
 """
 
-import time
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

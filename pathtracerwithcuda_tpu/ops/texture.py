@@ -112,8 +112,14 @@ def sample_cube_map(env_faces: Array, direction: Array, use_bilinear: bool) -> A
     x_real = u * lm1
     y_real = (1.0 - v) * lm1
 
+    # ONE linear row gather instead of a 3-index-vector gather: the general
+    # gather XLA emits for env_faces[face, y, x] cost ~113 ms per 2M-lane
+    # bounce on v5e; the flattened row fetch is the same pattern as the
+    # material/triangle row gathers in render/wavefront.bounce_step
+    flat = env_faces.reshape(-1, 3)
+
     def fetch(x, y):
-        return env_faces[face, y, x]
+        return flat[(face * length + y) * length + x]
 
     if use_bilinear:
         return _bilinear_gather(fetch, x_real, y_real, lm1, lm1)

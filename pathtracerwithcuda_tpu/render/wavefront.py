@@ -632,7 +632,8 @@ def _wide_ok(scene: SceneData, config: RenderConfig):
 @functools.partial(jax.jit, static_argnames=("p_fixed",))
 def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
     """Sphere-seed traversal bounds, then pad rays to the fixed size with
-    parked (never-hit) rays."""
+    parked (never-hit) rays.  (Legacy path — the host loop now keeps the
+    wavefront chunk-aligned via _pad_state_jit and only computes bounds.)"""
     from pathtracerwithcuda_tpu.ops.traversal_pallas import FAR_ORIGIN
 
     p = state.origin.shape[0]
@@ -647,6 +648,44 @@ def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
     d = jnp.pad(state.direction, ((0, pad), (0, 0)), constant_values=1.0)
     b = jnp.pad(bound, ((0, pad),))  # 0-bound = dead
     return o, d, b
+
+
+@jax.jit
+def _seed_bound_jit(state: RayState, scene: SceneData):
+    """Per-bounce traversal seed: closest-sphere t, 0 for dead lanes.
+    The state is already chunk-aligned (_pad_state_jit), so no copies of
+    origin/direction happen between bounces — round 2 rebuilt padded o/d/b
+    arrays every bounce (~0.3 s per 1080p trace)."""
+    p = state.origin.shape[0]
+    if scene.num_spheres > 0:
+        sph_t, _ = nearest_sphere(state.origin, state.direction,
+                                  scene.sphere_center, scene.sphere_radius)
+    else:
+        sph_t = jnp.full((p,), INF)
+    return jnp.where(state.active, jax.lax.stop_gradient(sph_t), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _pad_state_jit(state: RayState, pixel_ids, live_ids, p_pad: int):
+    """ONE-time pad of the freshly-generated wavefront to the traversal
+    chunk multiple; the tail lanes are inactive (zero radiance, direction 1)
+    and every later stage keeps the aligned size."""
+    p = state.origin.shape[0]
+    pad = p_pad - p
+
+    def padf(x, value=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=value)
+
+    return RayState(
+        origin=padf(state.origin),
+        direction=padf(state.direction, 1.0),
+        throughput=padf(state.throughput),
+        radiance=padf(state.radiance),
+        active=padf(state.active, False),
+        med_absorption=padf(state.med_absorption),
+        med_scattering=padf(state.med_scattering),
+    ), padf(pixel_ids, 0), padf(live_ids, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -780,6 +819,23 @@ def _pad_rays_shard(state, scene, p_fixed_local: int, mesh):
     return fn(state, scene)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _seed_bound_shard(state, scene, mesh):
+    fn = jax.shard_map(
+        _seed_bound_jit, mesh=mesh, in_specs=(_PS(RAY_AXIS), _PS()),
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(state, scene)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad_local", "mesh"))
+def _pad_state_shard(state, pixel_ids, live_ids, p_pad_local: int, mesh):
+    fn = jax.shard_map(
+        lambda s, p_, l: _pad_state_jit(s, p_, l, p_pad_local),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3,
+        out_specs=(_PS(RAY_AXIS),) * 3, check_vma=False)
+    return fn(state, pixel_ids, live_ids)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_nodes", "num_tris", "leaf_k", "mesh",
                                     "interpret"))
@@ -898,19 +954,18 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     else:
         n_ray = 1
     p_local = p // n_ray
-    ladder = _bucket_ladder(p_local)
     use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
     if use_packets:
         from pathtracerwithcuda_tpu.ops import traversal_pallas as _tp
 
-        # pad granularity = the kernel's fixed dispatch chunk (normally equal
-        # to _COMPACT_ALIGN; reads the module constants so tests can shrink
-        # the chunk for interpret-mode runs).  The traversal dispatch SHRINKS
-        # with the bucket ladder (p_fixed recomputed per bounce below): the
-        # embedded pallas executable is always the same one-chunk shape, only
-        # the number of chunk dispatches in the XLA program varies — round 2
-        # padded every bounce to the full wavefront and spent ~0.5 s/trace
-        # walking dead lanes.
+        # The wavefront lives permanently at a multiple of the kernel's
+        # fixed dispatch chunk (padded ONCE after raygen with inactive
+        # lanes), so between bounces only the seed bound is computed — no
+        # per-bounce o/d/b copies — and the traversal dispatch SHRINKS with
+        # the bucket ladder: the embedded pallas executable is always the
+        # same one-chunk shape, only the number of chunk dispatches in the
+        # XLA program varies.  (Round 2 rebuilt full-wavefront padded arrays
+        # every bounce and walked 16x dead lanes in late bounces.)
         _chunk = _tp.CHUNK_PACKETS * _tp.PACKET
         interp = _packet_interpret(config)
         wide = _wide_ok(scene, config)
@@ -920,6 +975,10 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                 scene.leaf_size)
         else:
             tables = _pack_tables_jit(scene, scene.leaf_size)
+        p_state = ((p_local + _chunk - 1) // _chunk) * _chunk
+    else:
+        p_state = p_local
+    ladder = _bucket_ladder(p_state)
 
     if config.repack_key == "cell_octant":
         if scene.num_bvh_nodes > 0:
@@ -938,11 +997,17 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         state = _raygen_jit(camera, config, key, pixel_ids)
         live_ids = jnp.arange(p, dtype=jnp.int32)
         radiance_full = jnp.zeros((p, 3), jnp.float32)
+        if p_state != p_local:
+            state, pixel_ids, live_ids = _pad_state_jit(
+                state, pixel_ids, live_ids, p_state)
     else:
         state = _raygen_shard(camera, config, key, pixel_ids, mesh)
         live_ids, radiance_full = _init_wavefront_shard(p_local, mesh)
+        if p_state != p_local:
+            state, pixel_ids, live_ids = _pad_state_shard(
+                state, pixel_ids, live_ids, p_state, mesh)
 
-    cur = p_local
+    cur = p_state
     count = p
     segments, sizes = [], []
     for depth in range(config.max_tracer_depth):
@@ -950,29 +1015,32 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         sizes.append(cur)
         tri_full = None
         if use_packets:
-            p_fixed = ((cur + _chunk - 1) // _chunk) * _chunk
             if mesh is None:
-                o, d, b = _pad_rays_jit(state, scene, p_fixed)
+                b = _seed_bound_jit(state, scene)
                 if wide is not None:
                     tri_full = _traverse_wide_jit(
-                        o, d, b, *tables, num_wide=wide.num_wide,
+                        state.origin, state.direction, b, *tables,
+                        num_wide=wide.num_wide,
                         num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
                         interpret=interp)
                 else:
                     tri_full = _traverse_fixed_jit(
-                        o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                        state.origin, state.direction, b, *tables,
+                        num_nodes=scene.num_bvh_nodes,
                         num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
                         interpret=interp)
             else:
-                o, d, b = _pad_rays_shard(state, scene, p_fixed, mesh)
+                b = _seed_bound_shard(state, scene, mesh)
                 if wide is not None:
                     tri_full = _traverse_wide_shard(
-                        o, d, b, *tables, num_wide=wide.num_wide,
+                        state.origin, state.direction, b, *tables,
+                        num_wide=wide.num_wide,
                         num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
                         mesh=mesh, interpret=interp)
                 else:
                     tri_full = _traverse_fixed_shard(
-                        o, d, b, *tables, num_nodes=scene.num_bvh_nodes,
+                        state.origin, state.direction, b, *tables,
+                        num_nodes=scene.num_bvh_nodes,
                         num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
                         mesh=mesh, interpret=interp)
         if mesh is None:
