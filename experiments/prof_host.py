@@ -65,7 +65,7 @@ def main(width=1920, height=1080, spp=1):
         tables = wf._pack_tables_jit(scene, scene.leaf_size)
     fence(tables)
 
-    if config.repack_key == "cell_octant":
+    if config.repack_key.startswith("cell"):
         box_lo = jnp.min(scene.bvh_min, axis=0)
         box_hi = jnp.max(scene.bvh_max, axis=0)
     else:

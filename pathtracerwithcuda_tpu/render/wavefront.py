@@ -748,11 +748,11 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
     act = state.active
     d = state.direction
     octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(jnp.int32)
-    if key_mode == "cell_octant":
-        # coarse origin cell first (4^3 grid over the scene box), octant
+    if key_mode.startswith("cell"):
+        # coarse origin cell first (g^3 grid over the scene box), octant
         # within the cell: rows then share SUBTREES, not just direction
-        # signs — config.repack_key
-        g = 4
+        # signs — config.repack_key ("cell_octant" g=4, "cell8_octant" g=8)
+        g = 8 if key_mode.startswith("cell8") else 4
         span = jnp.maximum(box_hi - box_lo, 1e-6)
         c = jnp.clip(((state.origin - box_lo) / span * g).astype(jnp.int32),
                      0, g - 1)
@@ -980,7 +980,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         p_state = p_local
     ladder = _bucket_ladder(p_state)
 
-    if config.repack_key == "cell_octant":
+    if config.repack_key.startswith("cell"):
         if scene.num_bvh_nodes > 0:
             box_lo = jnp.min(scene.bvh_min, axis=0)
             box_hi = jnp.max(scene.bvh_max, axis=0)
