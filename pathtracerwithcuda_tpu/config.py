@@ -91,6 +91,16 @@ class RenderConfig:
     # (flagship 1080p spp-trace 3.35 -> 3.04 s measured, v5e)
     repack_key: str = "cell_octant"
 
+    # unbiased Russian roulette (OFF by default for reference parity: the
+    # reference only has the biased low-energy kill, SURVEY §7; this is the
+    # deliberate-deviation option SURVEY licenses).  From rr_start_depth on,
+    # each lane survives a bounce with probability q = clamp(max(throughput),
+    # 0.05, 1) and survivors scale throughput by 1/q — expectation unchanged,
+    # but long-lived low-variance lanes (SSS media!) actually terminate, so
+    # the wavefront compaction ladder keeps shrinking.
+    russian_roulette: bool = False
+    rr_start_depth: int = 3
+
     # participating medium the camera starts in ("air")
     air_refraction_index: float = 1.000293
     air_absorption_coef: Tuple[float, float, float] = (0.0, 0.0, 0.0)

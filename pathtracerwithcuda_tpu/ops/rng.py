@@ -20,6 +20,7 @@ import jax.numpy as jnp
 # stage tags for fold_in (arbitrary distinct constants)
 STAGE_RAYGEN = 0x1001
 STAGE_BOUNCE = 0x2001
+STAGE_RR = 0x3001
 
 
 def pass_key(base_key: jax.Array, pass_index) -> jax.Array:
@@ -52,3 +53,14 @@ def bounce_uniforms(key: jax.Array, depth, pixel_ids: jax.Array) -> jax.Array:
     """
     k = jax.random.fold_in(jax.random.fold_in(key, STAGE_BOUNCE), depth)
     return _lane_uniforms(k, pixel_ids, 6)
+
+
+def rr_uniforms(key: jax.Array, depth, pixel_ids: jax.Array) -> jax.Array:
+    """(P,) Russian-roulette survival uniforms for one bounce.
+
+    A SEPARATE stage stream (not a 7th bounce slot) so enabling RR leaves
+    every existing uniform value — and therefore every RR-off golden image —
+    bit-identical.
+    """
+    k = jax.random.fold_in(jax.random.fold_in(key, STAGE_RR), depth)
+    return _lane_uniforms(k, pixel_ids, 1)[:, 0]

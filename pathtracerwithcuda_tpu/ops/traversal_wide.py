@@ -34,8 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtracerwithcuda_tpu.bvh.wide import WideBVH, collapse_wide
+from pathtracerwithcuda_tpu.ops import traversal_pallas as _tp
 from pathtracerwithcuda_tpu.ops.traversal_pallas import (
-    CHUNK_PACKETS,
     FAR_ORIGIN,
     INF,
     LANES,
@@ -88,7 +88,10 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
     meta_ref (SMEM, (8W,) i32): child slot meta (bvh/wide.py encoding:
       0 empty, >0 child wide id + 1, <0 -(tri_start*64+count)).
     nbox_ref (WT, 8, 128) f32: wide node w's child c box field q at
-      [w//16, q, (w%16)*8 + c]; empty slots carry never-hit boxes.
+      [w//16, q, (w%16)*8 + c].  Empty slots carry a swapped
+      (min=+1e30, max=-1e30) box which _slab8's per-axis min/max reordering
+      actually PASSES for every ray — emptiness is enforced by the meta==0
+      gate on push/leaf-append, not by the box itself.
     stack_ref (SMEM (chains, ROWS, STACK_CAP)), list_ref (SMEM
       (chains, ROWS, SEG_CAP+ARITY+1)): per-row walk stack / drain list.
     """
@@ -288,11 +291,17 @@ def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
     Transform refits replace only bvh_min/max semantically, but the refit
     jit returns a fresh buffer for EVERY SceneData leaf, so object identity
     is only a fast path; the durable key is a content hash of the topology
-    arrays (~90 KB readback, sub-ms — vs a ~50 ms collapse)."""
+    arrays (~90 KB readback, sub-ms — vs a ~50 ms collapse).
+
+    Never raises on a too-deep tree: callers gate on wide.max_stack
+    (render/wavefront._wide_ok falls back to the binary row kernel;
+    traverse_bvh_wide raises for the direct test path)."""
     fast = (id(bvh_next), id(bvh_tri_start), id(bvh_tri_count))
     hit = _STRUCT_IDS.get(fast)
     if hit is not None:
-        return hit
+        # entry keeps the keyed arrays alive, so the id tuple cannot have
+        # been reused by different arrays
+        return hit[0]
     nxt = np.asarray(bvh_next)
     ts = np.asarray(bvh_tri_start)
     tc = np.asarray(bvh_tri_count)
@@ -301,14 +310,14 @@ def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
     wide = _STRUCT_CACHE.get(key)
     if wide is None:
         wide = collapse_wide(nxt, ts, tc)
-        if wide.max_stack > STACK_CAP:
-            raise ValueError(f"wide stack bound {wide.max_stack} > {STACK_CAP}")
         if len(_STRUCT_CACHE) > 8:  # a handful of live scenes at most
             _STRUCT_CACHE.clear()
         _STRUCT_CACHE[key] = wide
     if len(_STRUCT_IDS) > 64:
         _STRUCT_IDS.clear()
-    _STRUCT_IDS[fast] = wide
+    # hold strong refs to the keyed arrays: an id()-keyed cache is only sound
+    # while the originals are alive (CPython reuses freed addresses)
+    _STRUCT_IDS[fast] = (wide, (bvh_next, bvh_tri_start, bvh_tri_count))
     return wide
 
 
@@ -384,10 +393,12 @@ def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,
     inv_d = 1.0 / d
 
     num_packets = p // PACKET
-    n_chunks = num_packets // CHUNK_PACKETS
+    # module-attribute read (not a value import) so tests that monkeypatch
+    # traversal_pallas.CHUNK_PACKETS apply regardless of import order
+    n_chunks = num_packets // _tp.CHUNK_PACKETS
 
     def shatter(x):
-        return x.reshape(n_chunks, CHUNK_PACKETS, ROWS, LANES)
+        return x.reshape(n_chunks, _tp.CHUNK_PACKETS, ROWS, LANES)
 
     fields = [shatter(o[:, 0]), shatter(o[:, 1]), shatter(o[:, 2]),
               shatter(inv_d[:, 0]), shatter(inv_d[:, 1]), shatter(inv_d[:, 2]),
@@ -422,10 +433,12 @@ def traverse_bvh_wide(origin, direction, bvh_min, bvh_max, bvh_next,
         return jnp.full((p,), -1, jnp.int32), jnp.full((p,), INF)
 
     wide = wide_structure(bvh_next, bvh_tri_start, bvh_tri_count)
+    if wide.max_stack > STACK_CAP:
+        raise ValueError(f"wide stack bound {wide.max_stack} > {STACK_CAP}")
     tables = pack_wide_tables(jnp.asarray(wide.src), jnp.asarray(wide.meta),
                               bvh_min, bvh_max, tri_v0, tri_v1, tri_v2, leaf_k)
 
-    chunk_rays = CHUNK_PACKETS * PACKET
+    chunk_rays = _tp.CHUNK_PACKETS * PACKET
     p_pad = _round_up(p, chunk_rays)
     pad = p_pad - p
     if pad:

@@ -257,10 +257,12 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
 
 
 def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
-                uniforms, tri_override=None) -> RayState:
+                uniforms, tri_override=None, rr_u=None, depth=None) -> RayState:
     """One wavefront bounce: intersect → medium event → shade/miss → select.
 
     uniforms: (P, 6), slot layout per ops.rng.bounce_uniforms.
+    rr_u/depth: (P,) survival uniforms + bounce index, only consumed when
+    config.russian_roulette (see RenderConfig.russian_roulette).
     """
     o, d = state.origin, state.direction
     p = o.shape[0]
@@ -463,6 +465,14 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     # biased low-energy kill (:480, :612-616) + miss kill (:622-623)
     new_active = state.active & ~miss & (length(new_thr) > config.energy_exist_threshold)
 
+    if config.russian_roulette and rr_u is not None:
+        q = jnp.clip(jnp.max(new_thr, axis=-1), 0.05, 1.0)
+        rr_on = new_active & (jnp.asarray(depth) >= config.rr_start_depth)
+        kill = rr_on & (rr_u > q)
+        new_thr = jnp.where((rr_on & ~kill)[:, None], new_thr / q[:, None],
+                            new_thr)
+        new_active = new_active & ~kill
+
     return RayState(
         origin=jnp.where(state.active[:, None], new_origin, o),
         direction=jnp.where(state.active[:, None], new_dir, d),
@@ -503,10 +513,12 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
     mode = "scan" if differentiable else config.loop_mode
     if mode in ("host", "auto"):
         mode = "while"
+    rr = functools.partial(_maybe_rr_uniforms, config, key, pixel_ids)
     if mode == "scan":
         def scan_body(s, depth):
             u = rng.bounce_uniforms(key, depth, pixel_ids)
-            return bounce_step(s, scene, config, u), None
+            return bounce_step(s, scene, config, u, rr_u=rr(depth),
+                               depth=depth), None
 
         state, _ = jax.lax.scan(
             scan_body, state, jnp.arange(config.max_tracer_depth)
@@ -514,7 +526,8 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
     elif mode == "unroll":
         for depth in range(config.max_tracer_depth):
             u = rng.bounce_uniforms(key, depth, pixel_ids)
-            state = bounce_step(state, scene, config, u)
+            state = bounce_step(state, scene, config, u, rr_u=rr(depth),
+                                depth=depth)
     else:  # "while" (and "host" when reached inside a jit)
         def cond(carry):
             depth, s = carry
@@ -523,7 +536,8 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
         def body(carry):
             depth, s = carry
             u = rng.bounce_uniforms(key, depth, pixel_ids)
-            return depth + 1, bounce_step(s, scene, config, u)
+            return depth + 1, bounce_step(s, scene, config, u,
+                                          rr_u=rr(depth), depth=depth)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
@@ -531,6 +545,13 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
 
 
 # ---- host-loop mode: one dispatch per stage, early exit on the host -------
+
+
+def _maybe_rr_uniforms(config: RenderConfig, key, pixel_ids, depth):
+    """RR survival uniforms when the knob is on, else None (no RNG cost)."""
+    if not config.russian_roulette:
+        return None
+    return rng.rr_uniforms(key, depth, pixel_ids)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -544,7 +565,10 @@ def _raygen_jit(camera, config: RenderConfig, key, pixel_ids):
 def _bounce_jit(state: RayState, scene: SceneData, config: RenderConfig,
                 key, depth, pixel_ids):
     u = rng.bounce_uniforms(key, depth, pixel_ids)
-    new_state = bounce_step(state, scene, config, u)
+    new_state = bounce_step(state, scene, config, u,
+                            rr_u=_maybe_rr_uniforms(config, key, pixel_ids,
+                                                    depth),
+                            depth=depth)
     return new_state, jnp.sum(new_state.active)
 
 
@@ -694,7 +718,10 @@ def _bounce_with_tri_jit(state: RayState, scene: SceneData,
                          tri_full):
     u = rng.bounce_uniforms(key, depth, pixel_ids)
     new_state = bounce_step(state, scene, config, u,
-                            tri_override=tri_full[: state.origin.shape[0]])
+                            tri_override=tri_full[: state.origin.shape[0]],
+                            rr_u=_maybe_rr_uniforms(config, key, pixel_ids,
+                                                    depth),
+                            depth=depth)
     return new_state, jnp.sum(new_state.active)
 
 

@@ -248,10 +248,26 @@ def _nearest_hit(scene, o, d):
     return best
 
 
-def trace_pixel(scene, config, o, d, bounce_uniforms):
-    """One pixel's radiance for one sample; bounce_uniforms: (depth, 6)."""
+def trace_pixel(scene, config, o, d, bounce_uniforms, rr_uniforms=None):
+    """One pixel's radiance for one sample; bounce_uniforms: (depth, 6).
+
+    rr_uniforms: optional (depth,) survival uniforms, consumed only when
+    config.russian_roulette — replays render/wavefront.bounce_step's RR
+    (survive w.p. q = clamp(max(throughput), 0.05, 1), scale by 1/q).
+    """
     throughput = np.ones(3)
     radiance = np.zeros(3)
+
+    def rr_kill(depth):
+        """Apply RR in place via the returned (killed, scale)."""
+        if not getattr(config, "russian_roulette", False) or rr_uniforms is None:
+            return False, 1.0
+        if depth < config.rr_start_depth:
+            return False, 1.0
+        q = min(max(float(np.max(throughput)), 0.05), 1.0)
+        if rr_uniforms[depth] > q:
+            return True, 1.0
+        return False, 1.0 / q
     cur_abs = np.asarray(config.air_absorption_coef, np.float64)
     cur_rs = np.asarray(config.air_reduced_scattering_coef, np.float64)
     mats = scene["materials"]
@@ -270,6 +286,10 @@ def trace_pixel(scene, config, o, d, bounce_uniforms):
                 throughput = throughput * np.exp(-cur_abs * dist)
                 if np.linalg.norm(throughput) <= config.energy_exist_threshold:
                     return radiance
+                killed, scale = rr_kill(depth)
+                if killed:
+                    return radiance
+                throughput = throughput * scale
                 continue
             throughput = throughput * np.exp(-cur_abs * min(min_t, 1e30))
 
@@ -336,13 +356,18 @@ def trace_pixel(scene, config, o, d, bounce_uniforms):
 
         if np.linalg.norm(throughput) <= config.energy_exist_threshold:
             return radiance
+        killed, scale = rr_kill(depth)
+        if killed:
+            return radiance
+        throughput = throughput * scale
     return radiance
 
 
-def render(scene, camera, config, raygen_u, bounce_u):
+def render(scene, camera, config, raygen_u, bounce_u, rr_u=None):
     """Full-frame oracle render of one pass.
 
-    raygen_u: (P, 4); bounce_u: (D, P, 6).  Returns (P, 3) float64 radiance.
+    raygen_u: (P, 4); bounce_u: (D, P, 6); rr_u: optional (D, P).
+    Returns (P, 3) float64 radiance.
     """
     w, h = int(camera["resolution"][0]), int(camera["resolution"][1])
     out = np.zeros((w * h, 3))
@@ -350,5 +375,7 @@ def render(scene, camera, config, raygen_u, bounce_u):
         for px in range(w):
             p = py * w + px
             o, d = generate_ray(camera, px, py, raygen_u[p], config)
-            out[p] = trace_pixel(scene, config, o, d, bounce_u[:, p, :])
+            out[p] = trace_pixel(
+                scene, config, o, d, bounce_u[:, p, :],
+                None if rr_u is None else rr_u[:, p])
     return out

@@ -36,7 +36,13 @@ def _uniforms(config, key):
         [np.asarray(rng.bounce_uniforms(key, d, pids), np.float64)
          for d in range(config.max_tracer_depth)]
     )
-    return raygen_u, bounce_u
+    rr_u = None
+    if config.russian_roulette:
+        rr_u = np.stack(
+            [np.asarray(rng.rr_uniforms(key, d, pids), np.float64)
+             for d in range(config.max_tracer_depth)]
+        )
+    return raygen_u, bounce_u, rr_u
 
 
 def _oracle_scene(host: HostScene, scene_data):
@@ -73,9 +79,9 @@ def _compare(host, config, camera_override=None, seed=0, tol=2e-2, frac=0.02):
     )
     key = rng.pass_key(jax.random.PRNGKey(seed), 0)
     radiance = np.asarray(trace_radiance(scene, cam, config, key))
-    raygen_u, bounce_u = _uniforms(config, key)
+    raygen_u, bounce_u, rr_u = _uniforms(config, key)
     expected = oracle.render(_oracle_scene(host, scene), _camera_dict(cam), config,
-                             raygen_u, bounce_u)
+                             raygen_u, bounce_u, rr_u)
     # float32 vs float64 along chaotic paths: allow a small fraction of
     # pixels to diverge (decision boundaries), the rest must match closely
     err = np.abs(radiance - expected).max(axis=-1)
@@ -215,6 +221,24 @@ def test_sss_medium():
     config = RenderConfig(width=14, height=10, max_tracer_depth=6,
                           use_sky_box=False, use_sky=True)
     _compare(host, config, frac=0.08)  # long chaotic walks → more boundary pixels
+
+
+def test_sss_medium_russian_roulette():
+    """Same SSS scene with unbiased Russian roulette ON: the integrator's RR
+    (survival uniforms from the separate STAGE_RR stream) must replay exactly
+    in the oracle — the lane-lifetime fix for SSS wavefronts (VERDICT r3 #4)."""
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["wall_white"], mats["marble"], mats["light"]]
+    host.sphere_centers = np.array(
+        [[0, -1001.0, 0], [0, 0, 0], [0, 1004.0, 0]], np.float32
+    )
+    host.sphere_radii = np.array([1000.0, 1.0, 1000.5], np.float32)
+    host.sphere_material_ids = np.array([0, 1, 2], np.int32)
+    config = RenderConfig(width=14, height=10, max_tracer_depth=6,
+                          use_sky_box=False, use_sky=True,
+                          russian_roulette=True, rr_start_depth=2)
+    _compare(host, config, frac=0.08)
 
 
 def test_textured_skybox_matches_oracle():
