@@ -109,16 +109,18 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
     if mode == "wide":
         from pathtracerwithcuda_tpu.ops import traversal_wide as twd
 
+        if os.environ.get("PT_WIDE_SEG_CAP"):
+            twd.SEG_CAP = int(os.environ["PT_WIDE_SEG_CAP"])
         wide = twd.wide_structure(scene.bvh_next, scene.bvh_tri_start,
                                   scene.bvh_tri_count)
-        wnbox, wmeta, wtris = twd.pack_wide_tables(
+        wtables = twd.pack_wide_tables(
             jnp.asarray(wide.src), jnp.asarray(wide.meta),
             scene.bvh_min, scene.bvh_max,
             scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.leaf_size)
         print(f"wide nodes {wide.num_wide} stack {wide.max_stack}", flush=True)
 
         def run_all():
-            outs = [twd._run([f[c] for f in fields], wnbox, wmeta, wtris,
+            outs = [twd._run([f[c] for f in fields], *wtables,
                              num_wide=wide.num_wide,
                              pad_tri=scene.num_triangles,
                              leaf_k=scene.leaf_size, chains=chains)

@@ -79,7 +79,7 @@ def _slab8(sub_t, o, inv_d, best_t):
     return (near <= far) & (far > 0.0) & (near <= best_t)
 
 
-def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
+def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref, out_t_ref,
             out_tri_ref, stack_ref, list_ref, bt_ref, btri_ref, *,
             num_wide: int, pad_tri: int, chains: int, leaf_k: int):
@@ -87,6 +87,10 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
 
     meta_ref (SMEM, (8W,) i32): child slot meta (bvh/wide.py encoding:
       0 empty, >0 child wide id + 1, <0 -(tri_start*64+count)).
+    axis_ref (SMEM, (W,) i32): per-node dominant axis; slots are pre-sorted
+      front-to-back along it (pack_wide_tables), so a row whose majority
+      direction sign on that axis is negative iterates slots reversed —
+      the nearest child is always pushed LAST and therefore popped first.
     nbox_ref (WT, 8, 128) f32: wide node w's child c box field q at
       [w//16, q, (w%16)*8 + c].  Empty slots carry a swapped
       (min=+1e30, max=-1e30) box which _slab8's per-axis min/max reordering
@@ -103,6 +107,9 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
     # dropped by the max)
     child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
 
+    row_w1 = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0))
+
     def chain_body(i, _):
         o = [ox_ref[i], oy_ref[i], oz_ref[i]]
         inv = [ix_ref[i], iy_ref[i], iz_ref[i]]
@@ -111,6 +118,14 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
         btri_ref[0] = jnp.full((ROWS, LANES), -1, jnp.int32)
         ob = [[_row_bcast(f, r) for f in o] for r in range(ROWS)]
         ib = [[_row_bcast(f, r) for f in inv] for r in range(ROWS)]
+        # per-row MAJORITY direction-sign bits per axis (one sync per axis
+        # per chain, amortized over the whole walk); rows share an octant
+        # after the production repack sort, so the majority is the row
+        sgn_bits = [
+            jnp.sum(jnp.where(jnp.sum(d[a], axis=1, keepdims=True) < 0.0,
+                              row_w1, 0))
+            for a in range(3)
+        ]
         for r in range(ROWS):
             stack_ref[i, r, 0] = jnp.int32(0)
 
@@ -169,9 +184,21 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                 for r in range(ROWS):
                     bits = bits32[r // 2]
                     w = nodes[r]
-                    for cslot in range(ARITY - 1, -1, -1):  # reverse: slot 0 pops first
+                    # ordered descent: slots are presorted front-to-back
+                    # along axis_ref[w]; negative-majority rows walk them
+                    # reversed.  Iterating far→near means the NEAREST child
+                    # is pushed last → popped first, and near leaves land
+                    # at the front of the drain list.
+                    ax = axis_ref[w]
+                    sgn = jnp.where(
+                        ax == 0, sgn_bits[0],
+                        jnp.where(ax == 1, sgn_bits[1], sgn_bits[2]))
+                    neg = (jax.lax.shift_right_logical(sgn, jnp.int32(r)) & 1) > 0
+                    for k in range(ARITY - 1, -1, -1):
+                        cslot = jnp.where(neg, jnp.int32(ARITY - 1 - k),
+                                          jnp.int32(k))
                         hit_c = (jax.lax.shift_right_logical(
-                            bits, jnp.int32(8 * (r % 2) + cslot)) & 1) > 0
+                            bits, 8 * (r % 2) + cslot) & 1) > 0
                         m = meta_ref[w * ARITY + cslot]
                         push = hit_c & (m > 0)
                         leaf = hit_c & (m < 0)
@@ -241,8 +268,8 @@ def _kernel(meta_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_wide", "pad_tri", "leaf_k",
                                              "chains", "interpret"))
-def _run(fields, nbox, meta, tris, num_wide: int, pad_tri: int, leaf_k: int,
-         chains: int, interpret: bool = False):
+def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
+         leaf_k: int, chains: int, interpret: bool = False):
     """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
     num_packets = fields[0].shape[0]
     grid = num_packets // chains
@@ -253,7 +280,7 @@ def _run(fields, nbox, meta, tris, num_wide: int, pad_tri: int, leaf_k: int,
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [block] * 10
         + [
             pl.BlockSpec(nbox.shape, lambda i: (0, 0, 0),
@@ -273,7 +300,7 @@ def _run(fields, nbox, meta, tris, num_wide: int, pad_tri: int, leaf_k: int,
             pltpu.VMEM((1, ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, *fields, nbox, tris)
+    )(meta, axis, *fields, nbox, tris)
     return out_t, out_tri
 
 
@@ -327,9 +354,20 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     """Device-side packing into the wide kernel table layouts.
 
     wide_src/wide_meta: (W, 8) i32 from WideBVH (host constants are fine).
-    Returns (nbox (WT, 8, 128) f32, meta (8W,) i32, tris (TT, 16, 128) f32).
-    Boxes are gathered fresh from bvh_min/max so transform refits flow
-    through without rebuilding the wide structure.
+    Returns (nbox (WT, 8, 128) f32, meta (8W,) i32, axis (W,) i32,
+    tris (TT, 16, 128) f32).  Boxes are gathered fresh from bvh_min/max so
+    transform refits flow through without rebuilding the wide structure.
+
+    Front-to-back slot ordering: each node's child slots are sorted by box
+    centroid along the node's dominant hull axis (stored in `axis`), empty
+    slots last.  The kernel iterates slots forward or reversed per the row's
+    majority direction sign on that axis, so near subtrees are descended —
+    and their leaves drained into best_t — before far siblings, which the
+    slab prune (`near <= best_t`) then skips.  This is the TPU analog of the
+    reference's `box_hit_t <= min_t` front-to-back prune
+    (Kernel/path_tracer_kernel.cu:118).  Because the sort runs at pack time
+    on the (possibly refitted) boxes, ordering stays fresh across transform
+    edits with no wide-side rebuild.
     """
     if leaf_k > MAX_LEAF_K:
         raise ValueError(f"leaf_k {leaf_k} > {MAX_LEAF_K}")
@@ -344,6 +382,26 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     safe = jnp.maximum(src, 0)
     cmin = jnp.where(empty[:, None], _BIG, bvh_min[safe])   # (w8, 3)
     cmax = jnp.where(empty[:, None], -_BIG, bvh_max[safe])
+
+    # ---- front-to-back slot sort (per node, along dominant hull axis)
+    e3 = empty.reshape(w, ARITY, 1)
+    cmin3 = cmin.reshape(w, ARITY, 3)
+    cmax3 = cmax.reshape(w, ARITY, 3)
+    hull_lo = jnp.min(jnp.where(e3, _BIG, cmin3), axis=1)    # (W, 3)
+    hull_hi = jnp.max(jnp.where(e3, -_BIG, cmax3), axis=1)
+    axis = jnp.argmax(hull_hi - hull_lo, axis=1).astype(jnp.int32)  # (W,)
+    centroid = (cmin3 + cmax3) * 0.5                         # (W, 8, 3)
+    key = jnp.take_along_axis(centroid, axis[:, None, None].astype(jnp.int32),
+                              axis=2)[..., 0]                # (W, 8)
+    key = jnp.where(empty.reshape(w, ARITY), _BIG, key)      # empties last
+    perm = jnp.argsort(key, axis=1, stable=True)             # (W, 8)
+    cmin = jnp.take_along_axis(cmin3, perm[:, :, None], axis=1).reshape(w8, 3)
+    cmax = jnp.take_along_axis(cmax3, perm[:, :, None], axis=1).reshape(w8, 3)
+    empty = jnp.take_along_axis(empty.reshape(w, ARITY), perm, axis=1).reshape(w8)
+    wide_meta = jnp.take_along_axis(wide_meta, perm, axis=1)
+    # re-apply the empty-slot sentinel boxes after the permutation gather
+    cmin = jnp.where(empty[:, None], _BIG, cmin)
+    cmax = jnp.where(empty[:, None], -_BIG, cmax)
 
     nbox = jnp.zeros((8, w8_pad), jnp.float32)
     nbox = nbox.at[0:3, :w8].set(cmin.T)
@@ -361,7 +419,7 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     tris = tris.at[3:6, :t].set(tri_v1.T)
     tris = tris.at[6:9, :t].set(tri_v2.T)
     tris = tris.reshape(16, t_pad // LANES, LANES).transpose(1, 0, 2)
-    return nbox, meta, tris
+    return nbox, meta, axis, tris
 
 
 def vmem_table_bytes(num_wide: int, num_tris: int, leaf_k: int) -> int:
@@ -371,7 +429,7 @@ def vmem_table_bytes(num_wide: int, num_tris: int, leaf_k: int) -> int:
 
 
 def smem_meta_bytes(num_wide: int) -> int:
-    return (num_wide * ARITY * 4
+    return (num_wide * (ARITY + 1) * 4  # slot meta + per-node axis
             + WIDE_CHAINS * ROWS * (STACK_CAP + SEG_CAP + ARITY + 1) * 4)
 
 
@@ -381,7 +439,7 @@ def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,
     """Wide-kernel analog of traversal_pallas.traverse_packed: PREPACKED
     tables (pack_wide_tables); P must be a multiple of CHUNK_PACKETS*PACKET.
     Returns (tri_index, t) with -1/inf for no triangle beating min_t0."""
-    nbox, meta, tris = tables
+    nbox, meta, axis, tris = tables
     p = origin.shape[0]
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
@@ -405,9 +463,9 @@ def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,
               shatter(min_t0),
               shatter(d[:, 0]), shatter(d[:, 1]), shatter(d[:, 2])]
     outs = [
-        _run([f[c] for f in fields], nbox, meta, tris, num_wide=num_wide,
-             pad_tri=num_tris, leaf_k=leaf_k, chains=chains,
-             interpret=interpret)
+        _run([f[c] for f in fields], nbox, meta, axis, tris,
+             num_wide=num_wide, pad_tri=num_tris, leaf_k=leaf_k,
+             chains=chains, interpret=interpret)
         for c in range(n_chunks)
     ]
     out_t = jnp.concatenate([o_[0] for o_ in outs], axis=0)

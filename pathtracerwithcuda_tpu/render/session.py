@@ -55,7 +55,9 @@ class RenderSession:
         """Advance one progressive pass (reference render(),
         Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate)."""
         t0 = time.monotonic()
-        if self.config.resolved_loop_mode() == "host":
+        from pathtracerwithcuda_tpu.render.wavefront import choose_loop_mode
+
+        if choose_loop_mode(self.scene, self.config) == "host":
             from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
 
             self.accum = render_pass_host(

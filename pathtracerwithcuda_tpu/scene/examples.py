@@ -159,9 +159,15 @@ def sss_dof_camera(width, height):
 
 
 def sss_dof_config(width=1920, height=1080, **kw) -> RenderConfig:
+    # russian_roulette: SSS scatter events never kill lanes (the medium walk
+    # keeps the full wavefront alive to max depth, reference event loop
+    # Kernel/path_tracer_kernel.cu:456-492), so the compaction ladder never
+    # shrinks; unbiased RR restores lane turnover at unchanged expectation
+    # (the deliberate deviation SURVEY §7 licenses, VERDICT r3 #4)
     defaults = dict(width=width, height=height, max_tracer_depth=8,
                     use_sky_box=False, use_sky=True, spp_per_pass=4,
-                    bvh_leaf_node_triangle_num=8)
+                    bvh_leaf_node_triangle_num=8,
+                    russian_roulette=True, rr_start_depth=3)
     defaults.update(kw)
     return RenderConfig(**defaults)
 

@@ -97,6 +97,59 @@ def test_env_faces_grad():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_recorded_tris_grad_matches_scan():
+    """The fast fwd+bwd path (record_tri_ids_host pre-pass + checkpointed
+    scan replay, VERDICT r3 #1) must produce the same value AND gradient as
+    the self-contained differentiable scan that re-walks the BVH inside the
+    differentiated program — traversal ids are detached either way."""
+    from pathtracerwithcuda_tpu.render.wavefront import (
+        record_tri_ids_host,
+        trace_radiance_scan_tris,
+    )
+    from pathtracerwithcuda_tpu.scene.build import HostMesh
+    from pathtracerwithcuda_tpu.scene.examples import torus_mesh
+
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["wall_white"], mats["light"], mats["red"]]
+    host.sphere_centers = np.array([[0, 4.0, 0]], np.float32)
+    host.sphere_radii = np.array([1.5], np.float32)
+    host.sphere_material_ids = np.array([1], np.int32)
+    shape = torus_mesh(seg_u=24, seg_v=12)  # BVH path
+    host.meshes = [HostMesh.from_shapes([shape], [2], (0.0, 0.0, 0.0),
+                                        (1.2, 1.2, 1.2), (0, 0, 0))]
+    config = RenderConfig(width=12, height=10, max_tracer_depth=3,
+                          use_sky_box=False, use_sky=True)
+    scene = build_scene_data(host, config)
+    cam = RenderCamera.create(
+        eye=(0, 1, 8.0), view=(0, 0, -1.0), up=(0, 1, 0),
+        width=config.width, height=config.height, fov_x_deg=45.0,
+        focal_distance=8.0,
+    )
+    key = rng.pass_key(jax.random.PRNGKey(0), 0)
+    pids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+
+    tri_ids = record_tri_ids_host(scene, cam, config, key, pids)
+    assert tri_ids.shape == (config.max_tracer_depth, config.pixel_count)
+    assert int((tri_ids >= 0).sum()) > 0  # the torus is actually hit
+
+    def loss_fast(d):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=d))
+        return jnp.mean(trace_radiance_scan_tris(sc, cam, config, key, pids,
+                                                 tri_ids))
+
+    def loss_scan(d):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=d))
+        return jnp.mean(trace_radiance(sc, cam, config, key, pids,
+                                       differentiable=True))
+
+    v_fast, g_fast = jax.value_and_grad(loss_fast)(scene.materials.diffuse)
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(scene.materials.diffuse)
+    assert np.isclose(float(v_fast), float(v_scan), rtol=1e-5)
+    assert np.allclose(np.asarray(g_fast), np.asarray(g_scan),
+                       rtol=1e-4, atol=1e-7)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_grad_matches_single():
     scene, cam, config, key = _setup(width=16, height=8)
