@@ -106,7 +106,7 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
 
     wo = mode == "walk_only"
 
-    if mode == "wide":
+    if mode.startswith("wide"):
         from pathtracerwithcuda_tpu.ops import traversal_wide as twd
 
         if os.environ.get("PT_WIDE_SEG_CAP"):
@@ -123,7 +123,8 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
             outs = [twd._run([f[c] for f in fields], *wtables,
                              num_wide=wide.num_wide,
                              pad_tri=scene.num_triangles,
-                             leaf_k=scene.leaf_size, chains=chains)
+                             leaf_k=scene.leaf_size, chains=chains,
+                             walk_only=mode == "wide_walk")
                     for c in range(nc)]
             return outs[-1][0]
     else:

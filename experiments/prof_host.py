@@ -93,16 +93,17 @@ def main(width=1920, height=1080, spp=1):
             live_ids = jnp.arange(p, dtype=jnp.int32)
             radiance_full = jnp.zeros((p, 3), jnp.float32)
             p_state = (p + chunk - 1) // chunk * chunk
+            t0 = time.perf_counter()
             if p_state != p:
-                state, pixel_ids, live_ids = wf._pad_state_jit(
-                    state, pixel_ids, live_ids, p_state)
+                state, pixel_ids, live_ids, b = wf._pad_state_jit(
+                    state, pixel_ids, live_ids, scene, p_state)
+            else:
+                b = wf._seed_bound_jit(state, scene)
+            if fenced:
+                fence(b)
+                record["pad"] += time.perf_counter() - t0
             cur = p_state
             for depth in range(config.max_tracer_depth):
-                t0 = time.perf_counter()
-                b = wf._seed_bound_jit(state, scene)
-                if fenced:
-                    fence(b)
-                    record["pad"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 tri_full = traverse(state.origin, state.direction, b)
                 if fenced:
@@ -121,9 +122,10 @@ def main(width=1920, height=1080, spp=1):
                 if depth < config.max_tracer_depth - 1:
                     bucket = wf._bucket_for(count, cur, ladder)
                     t0 = time.perf_counter()
-                    state, pixel_ids, live_ids, radiance_full = wf._repack_jit(
-                        state, pixel_ids, live_ids, radiance_full, bucket,
-                        config.repack_key, box_lo, box_hi)
+                    state, pixel_ids, live_ids, radiance_full, b = \
+                        wf._repack_jit(
+                            state, pixel_ids, live_ids, radiance_full, scene,
+                            bucket, config.repack_key, box_lo, box_hi)
                     if fenced:
                         fence(radiance_full)
                         record["repack"] += time.perf_counter() - t0

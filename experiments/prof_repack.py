@@ -84,10 +84,15 @@ def main():
         out_size = p  # same-size repack (the every-bounce case)
 
         rf = jnp.zeros((p, 3), jnp.float32)
+        from pathtracerwithcuda_tpu.config import RenderConfig
+        from pathtracerwithcuda_tpu.scene.build import HostScene, build_scene_data
+
+        empty_scene = build_scene_data(HostScene.empty(), RenderConfig())
         # donated arg: rebuild each call via lambda capture copy
         t_prod = timeit(
             lambda: wf._repack_jit(state, pixel_ids, live_ids,
-                                   jnp.zeros((p, 3), jnp.float32), out_size))
+                                   jnp.zeros((p, 3), jnp.float32),
+                                   empty_scene, out_size))
         t_nz = timeit(
             lambda: nonzero_repack_jit(state, pixel_ids, live_ids,
                                        jnp.zeros((p, 3), jnp.float32),

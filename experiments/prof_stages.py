@@ -92,8 +92,8 @@ def run(width=1920, height=1080, depth=8, repeat=2):
             t4 = time.perf_counter()
             if count and d < config.max_tracer_depth - 1:
                 bucket = wf._bucket_for(count, cur, ladder)
-                state, pixel_ids, live_ids, radiance_full = wf._repack_jit(
-                    state, pixel_ids, live_ids, radiance_full, bucket)
+                state, pixel_ids, live_ids, radiance_full, _b = wf._repack_jit(
+                    state, pixel_ids, live_ids, radiance_full, scene, bucket)
                 fence(radiance_full)
                 cur = bucket
             t5 = time.perf_counter()

@@ -42,7 +42,6 @@ from pathtracerwithcuda_tpu.ops.traversal_pallas import (
     MAX_LEAF_K,
     PACKET,
     ROWS,
-    SEG_CAP,
     _extract_col,
     _moller_trumbore_rows,
     _round_up,
@@ -53,6 +52,13 @@ from pathtracerwithcuda_tpu.ops.traversal_pallas import (
 ARITY = 8
 WIDE_CHAINS = 8          # chains per kernel instance (sequential fori)
 STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
+# Drain-segment length — deliberately SMALLER than the binary kernel's 64:
+# with ordered descent the value of a drain is the best_t tightening it
+# feeds back into the slab prune, so draining every ~2 leaf appends
+# (leaf_k 8) beats batching 8+ of them.  Swept on v5e, 2.07M-ray flagship:
+# primary 366→323 ms and bounce 1508→1373 ms going 64→16; 8 and 24 are
+# both slightly worse.
+SEG_CAP = 16
 _BIG = jnp.float32(1e30)
 
 
@@ -82,7 +88,8 @@ def _slab8(sub_t, o, inv_d, best_t):
 def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref, out_t_ref,
             out_tri_ref, stack_ref, list_ref, bt_ref, btri_ref, *,
-            num_wide: int, pad_tri: int, chains: int, leaf_k: int):
+            num_wide: int, pad_tri: int, chains: int, leaf_k: int,
+            walk_only: bool = False):
     """Wide-BVH traversal; see module docstring.
 
     meta_ref (SMEM, (8W,) i32): child slot meta (bvh/wide.py encoding:
@@ -210,6 +217,8 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
 
             init = tuple(c[:ROWS]) + tuple(jnp.int32(0) for _ in range(ROWS))
             walked = jax.lax.while_loop(wcond, wbody, init)
+            if walk_only:  # timing diagnostics only — results are wrong
+                return walked[:ROWS]
 
             # ---- drain segment (same design as the binary kernel)
             ns = [walked[ROWS + r] for r in range(ROWS)]
@@ -267,14 +276,17 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_wide", "pad_tri", "leaf_k",
-                                             "chains", "interpret"))
+                                             "chains", "interpret",
+                                             "walk_only"))
 def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
-         leaf_k: int, chains: int, interpret: bool = False):
+         leaf_k: int, chains: int, interpret: bool = False,
+         walk_only: bool = False):
     """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
     num_packets = fields[0].shape[0]
     grid = num_packets // chains
     kernel = functools.partial(_kernel, num_wide=num_wide, pad_tri=pad_tri,
-                               chains=chains, leaf_k=leaf_k)
+                               chains=chains, leaf_k=leaf_k,
+                               walk_only=walk_only)
     block = pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out_t, out_tri = pl.pallas_call(

@@ -697,24 +697,21 @@ def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
 
 @jax.jit
 def _seed_bound_jit(state: RayState, scene: SceneData):
-    """Per-bounce traversal seed: closest-sphere t, 0 for dead lanes.
-    The state is already chunk-aligned (_pad_state_jit), so no copies of
-    origin/direction happen between bounces — round 2 rebuilt padded o/d/b
-    arrays every bounce (~0.3 s per 1080p trace)."""
-    p = state.origin.shape[0]
-    if scene.num_spheres > 0:
-        sph_t, _ = nearest_sphere(state.origin, state.direction,
-                                  scene.sphere_center, scene.sphere_radius)
-    else:
-        sph_t = jnp.full((p,), INF)
-    return jnp.where(state.active, jax.lax.stop_gradient(sph_t), 0.0)
+    """Standalone seed-bound dispatch — only used when the wavefront is
+    already chunk-aligned at raygen (no pad step to piggyback on); between
+    bounces the bound rides along in _repack_jit's output instead (one
+    fewer full-wavefront dispatch per bounce)."""
+    return _seed_bound_of(state, scene)
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad",))
-def _pad_state_jit(state: RayState, pixel_ids, live_ids, p_pad: int):
+def _pad_state_jit(state: RayState, pixel_ids, live_ids, scene: SceneData,
+                   p_pad: int):
     """ONE-time pad of the freshly-generated wavefront to the traversal
     chunk multiple; the tail lanes are inactive (zero radiance, direction 1)
-    and every later stage keeps the aligned size."""
+    and every later stage keeps the aligned size.  Also emits the padded
+    wavefront's traversal seed bound (closest-sphere t, 0 when dead) so the
+    host loop never runs a standalone full-wavefront seed dispatch."""
     p = state.origin.shape[0]
     pad = p_pad - p
 
@@ -722,7 +719,7 @@ def _pad_state_jit(state: RayState, pixel_ids, live_ids, p_pad: int):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
                        constant_values=value)
 
-    return RayState(
+    new_state = RayState(
         origin=padf(state.origin),
         direction=padf(state.direction, 1.0),
         throughput=padf(state.throughput),
@@ -730,7 +727,20 @@ def _pad_state_jit(state: RayState, pixel_ids, live_ids, p_pad: int):
         active=padf(state.active, False),
         med_absorption=padf(state.med_absorption),
         med_scattering=padf(state.med_scattering),
-    ), padf(pixel_ids, 0), padf(live_ids, 0)
+    )
+    return (new_state, padf(pixel_ids, 0), padf(live_ids, 0),
+            _seed_bound_of(new_state, scene))
+
+
+def _seed_bound_of(state: RayState, scene: SceneData):
+    """Traversal seed bound: closest-sphere t for live lanes, 0 for dead."""
+    p = state.origin.shape[0]
+    if scene.num_spheres > 0:
+        sph_t, _ = nearest_sphere(state.origin, state.direction,
+                                  scene.sphere_center, scene.sphere_radius)
+    else:
+        sph_t = jnp.full((p,), INF)
+    return jnp.where(state.active, jax.lax.stop_gradient(sph_t), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -785,8 +795,8 @@ def _bucket_for(count: int, cur: int, ladder) -> int:
 @functools.partial(jax.jit, static_argnames=("out_size", "key_mode"),
                    donate_argnums=(3,))
 def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
-                out_size: int, key_mode: str = "octant", box_lo=None,
-                box_hi=None):
+                scene: SceneData, out_size: int, key_mode: str = "octant",
+                box_lo=None, box_hi=None):
     """Flush lane radiance into the full-res buffer, then compact the active
     lanes into a dense wavefront of `out_size` lanes, grouped by direction
     octant.
@@ -843,8 +853,11 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
         med_absorption=packed[:, 9:12],
         med_scattering=packed[:, 12:15],
     )
+    # next bounce's traversal seed, fused here so no standalone
+    # full-wavefront seed dispatch runs between bounces
     return (new_state, packed[:, 16].astype(jnp.int32),
-            packed[:, 17].astype(jnp.int32), radiance_full)
+            packed[:, 17].astype(jnp.int32), radiance_full,
+            _seed_bound_of(new_state, scene))
 
 
 @jax.jit
@@ -889,12 +902,13 @@ def _seed_bound_shard(state, scene, mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad_local", "mesh"))
-def _pad_state_shard(state, pixel_ids, live_ids, p_pad_local: int, mesh):
+def _pad_state_shard(state, pixel_ids, live_ids, scene, p_pad_local: int,
+                     mesh):
     fn = jax.shard_map(
-        lambda s, p_, l: _pad_state_jit(s, p_, l, p_pad_local),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3,
-        out_specs=(_PS(RAY_AXIS),) * 3, check_vma=False)
-    return fn(state, pixel_ids, live_ids)
+        lambda s, p_, l, sc: _pad_state_jit(s, p_, l, sc, p_pad_local),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3 + (_PS(),),
+        out_specs=(_PS(RAY_AXIS),) * 4, check_vma=False)
+    return fn(state, pixel_ids, live_ids, scene)
 
 
 @functools.partial(jax.jit,
@@ -952,14 +966,15 @@ def _bounce_shard(state, scene, config: RenderConfig, key, depth, pixel_ids,
 @functools.partial(jax.jit,
                    static_argnames=("out_size_local", "key_mode", "mesh"),
                    donate_argnums=(3,))
-def _repack_shard(state, pixel_ids, live_ids, radiance_full,
+def _repack_shard(state, pixel_ids, live_ids, radiance_full, scene,
                   out_size_local: int, key_mode: str, box_lo, box_hi, mesh):
     fn = jax.shard_map(
-        lambda s, p_, l, r, lo, hi: _repack_jit(
-            s, p_, l, r, out_size_local, key_mode, lo, hi),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4 + (_PS(), _PS()),
-        out_specs=(_PS(RAY_AXIS),) * 4, check_vma=False)
-    return fn(state, pixel_ids, live_ids, radiance_full, box_lo, box_hi)
+        lambda s, p_, l, r, sc, lo, hi: _repack_jit(
+            s, p_, l, r, sc, out_size_local, key_mode, lo, hi),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4 + (_PS(), _PS(), _PS()),
+        out_specs=(_PS(RAY_AXIS),) * 5, check_vma=False)
+    return fn(state, pixel_ids, live_ids, radiance_full, scene, box_lo,
+              box_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
@@ -1068,28 +1083,32 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     else:
         box_lo = box_hi = jnp.zeros((3,), jnp.float32)
 
+    bound = None
     if mesh is None:
         state = _raygen_jit(camera, config, key, pixel_ids)
         live_ids = jnp.arange(p, dtype=jnp.int32)
         radiance_full = jnp.zeros((p, 3), jnp.float32)
         if p_state != p_local:
-            state, pixel_ids, live_ids = _pad_state_jit(
-                state, pixel_ids, live_ids, p_state)
+            state, pixel_ids, live_ids, bound = _pad_state_jit(
+                state, pixel_ids, live_ids, scene, p_state)
+        elif use_packets:
+            bound = _seed_bound_jit(state, scene)
     else:
         state = _raygen_shard(camera, config, key, pixel_ids, mesh)
         live_ids, radiance_full = _init_wavefront_shard(p_local, mesh)
         if p_state != p_local:
-            state, pixel_ids, live_ids = _pad_state_shard(
-                state, pixel_ids, live_ids, p_state, mesh)
+            state, pixel_ids, live_ids, bound = _pad_state_shard(
+                state, pixel_ids, live_ids, scene, p_state, mesh)
+        elif use_packets:
+            bound = _seed_bound_shard(state, scene, mesh)
 
     import numpy as _np
 
-    def run_bounce(state, pixel_ids, depth):
+    def run_bounce(state, pixel_ids, depth, b):
         """Traverse (packets) + shade for one bounce → (state, alive_dev)."""
         tri_full = None
         if use_packets:
             if mesh is None:
-                b = _seed_bound_jit(state, scene)
                 if wide is not None:
                     tri_full = _traverse_wide_jit(
                         state.origin, state.direction, b, *tables,
@@ -1103,7 +1122,6 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                         num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
                         interpret=interp)
             else:
-                b = _seed_bound_shard(state, scene, mesh)
                 if wide is not None:
                     tri_full = _traverse_wide_shard(
                         state.origin, state.direction, b, *tables,
@@ -1126,11 +1144,14 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             with_tri=tri_full is not None)
 
     def repack(state, pixel_ids, live_ids, radiance_full, bucket):
+        """→ (state, pixel_ids, live_ids, radiance_full, next seed bound)."""
         if mesh is None:
             return _repack_jit(state, pixel_ids, live_ids, radiance_full,
-                               bucket, config.repack_key, box_lo, box_hi)
+                               scene, bucket, config.repack_key, box_lo,
+                               box_hi)
         return _repack_shard(state, pixel_ids, live_ids, radiance_full,
-                             bucket, config.repack_key, box_lo, box_hi, mesh)
+                             scene, bucket, config.repack_key, box_lo,
+                             box_hi, mesh)
 
     depth_n = config.max_tracer_depth
     prof_key = (config, p_state, n_ray, bool(use_packets))
@@ -1149,7 +1170,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         alive_log: list = []
         bucket_log: list = []
         for depth in range(depth_n):
-            state, alive = run_bounce(state, pixel_ids, depth)
+            state, alive = run_bounce(state, pixel_ids, depth, bound)
             try:
                 alive.copy_to_host_async()
             except AttributeError:  # pragma: no cover (non-jax.Array stand-ins)
@@ -1168,7 +1189,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                 else:
                     est = int(pred * 1.125) + 256
                 bucket = _bucket_for(min(est, cur), cur, ladder)
-                state, pixel_ids, live_ids, radiance_full = repack(
+                state, pixel_ids, live_ids, radiance_full, bound = repack(
                     state, pixel_ids, live_ids, radiance_full, bucket)
                 bucket_log[depth] = bucket
                 cur = bucket
@@ -1193,7 +1214,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     for depth in range(depth_n):
         segments.append(count)
         sizes.append(cur)
-        state, alive = run_bounce(state, pixel_ids, depth)
+        state, alive = run_bounce(state, pixel_ids, depth, bound)
         if mesh is None:
             count = count_max = int(alive)
         else:
@@ -1209,7 +1230,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             # the next bounce's packets directionally coherent — worth far
             # more on the packet traversal than the repack costs
             bucket = _bucket_for(count_max, cur, ladder)
-            state, pixel_ids, live_ids, radiance_full = repack(
+            state, pixel_ids, live_ids, radiance_full, bound = repack(
                 state, pixel_ids, live_ids, radiance_full, bucket)
             cur = bucket
     _SEG_PROFILE[prof_key] = profile + [0] * (depth_n - len(profile))
@@ -1277,8 +1298,8 @@ def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
     state = _raygen_jit(camera, config, key, pixel_ids)
     pids = pixel_ids
     if p_state != p:
-        state, pids, _ = _pad_state_jit(
-            state, pixel_ids, jnp.arange(p, dtype=jnp.int32), p_state)
+        state, pids, _, _ = _pad_state_jit(
+            state, pixel_ids, jnp.arange(p, dtype=jnp.int32), scene, p_state)
 
     depth_n = config.max_tracer_depth
     tri_out = []
@@ -1287,6 +1308,8 @@ def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
     for depth in range(depth_n):
         segments.append(count)
         if use_packets:
+            # no repack in this loop (fixed lane order), so the seed bound
+            # is a standalone dispatch per bounce here
             b = _seed_bound_jit(state, scene)
             if wide is not None:
                 tri_full = _traverse_wide_jit(
