@@ -16,6 +16,7 @@ Convention: row 0 of every stored image is the *visual top* (v = 1), matching
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pathtracerwithcuda_tpu.core.types import TextureAtlas
@@ -41,6 +42,61 @@ def _bilinear_gather(fetch, x_real, y_real, wm1, hm1):
     return bottom * (1.0 - ty) + top * ty
 
 
+def _bilinear_quad(quad_fetch, x_real, y_real, wm1, hm1):
+    """Bilinear from a precomputed neighborhood table: quad_fetch(x0, y0)
+    returns (..., 12) = [c(x0,y0), c(x0+1,y0), c(x0,y0+1), c(x0+1,y0+1)]
+    with edge-clamped neighbors.  Radiometrically identical to
+    _bilinear_gather: whenever clip(ceil(x)) != min(x0+1, w-1) the blend
+    weight of that tap is exactly 0.  ONE per-lane gather instead of four —
+    TPU gathers pay per row, not per row width."""
+    x0 = jnp.clip(jnp.floor(x_real), 0.0, wm1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y_real), 0.0, hm1).astype(jnp.int32)
+    tx = (x_real - jnp.floor(x_real))[..., None]
+    ty = (y_real - jnp.floor(y_real))[..., None]
+    q = quad_fetch(x0, y0)
+    bottom = q[..., 0:3] * (1.0 - tx) + q[..., 3:6] * tx
+    top = q[..., 6:9] * (1.0 - tx) + q[..., 9:12] * tx
+    return bottom * (1.0 - ty) + top * ty
+
+
+def _atlas_quad_table(atlas: TextureAtlas) -> Array:
+    """(T, 12) per-texel 2x2 neighborhood of the packed atlas, built with
+    TABLE-sized ops (3 gathers over T texels + searchsorted layout recovery)
+    — worth it whenever the wavefront is much larger than the atlas.
+    Differentiable w.r.t. atlas.data (indices are integer-valued)."""
+    t = atlas.data.shape[0]
+    ids = jnp.arange(t, dtype=jnp.int32)
+    tex = jnp.searchsorted(atlas.offset, ids, side="right").astype(jnp.int32) - 1
+    off = atlas.offset[tex]
+    w = atlas.width[tex]
+    h = atlas.height[tex]
+    rem = ids - off
+    y = rem // w
+    x = rem - y * w
+    xr = jnp.minimum(x + 1, w - 1)
+    yd = jnp.minimum(y + 1, h - 1)
+    d = atlas.data
+    return jnp.concatenate(
+        [d, d[off + y * w + xr], d[off + yd * w + x], d[off + yd * w + xr]],
+        axis=1)
+
+
+def _env_quad_table(env_faces: Array) -> Array:
+    """(6*L*L, 12) neighborhood table of the cube map (neighbors clamped
+    WITHIN each face, matching the 4-tap clamp semantics)."""
+    length = env_faces.shape[1]
+    flat = env_faces.reshape(-1, 3)
+    n = flat.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    x = jax.lax.rem(ids, length)
+    y = jax.lax.rem(ids // length, length)
+    rowbase = ids - x
+    xr = jnp.minimum(x + 1, length - 1)
+    down = jnp.where(y + 1 < length, rowbase + length, rowbase)
+    return jnp.concatenate(
+        [flat, flat[rowbase + xr], flat[down + x], flat[down + xr]], axis=1)
+
+
 def sample_atlas(atlas: TextureAtlas, texture_id: Array, uv: Array, use_bilinear: bool) -> Array:
     """Sample per-lane textures from the packed atlas.
 
@@ -62,6 +118,11 @@ def sample_atlas(atlas: TextureAtlas, texture_id: Array, uv: Array, use_bilinear
         return atlas.data[off + y * w + x]
 
     if use_bilinear:
+        p = texture_id.shape[0] if texture_id.ndim else 1
+        if 4 * atlas.data.shape[0] <= p:
+            quad = _atlas_quad_table(atlas)
+            return _bilinear_quad(lambda x, y: quad[off + y * w + x],
+                                  x_real, y_real, wm1, hm1)
         return _bilinear_gather(fetch, x_real, y_real, wm1, hm1)
     x = jnp.clip(x_real, 0.0, wm1).astype(jnp.int32)
     y = jnp.clip(y_real, 0.0, hm1).astype(jnp.int32)
@@ -122,6 +183,12 @@ def sample_cube_map(env_faces: Array, direction: Array, use_bilinear: bool) -> A
         return flat[(face * length + y) * length + x]
 
     if use_bilinear:
+        p = direction.shape[0] if direction.ndim > 1 else 1
+        if 4 * flat.shape[0] <= p:
+            quad = _env_quad_table(env_faces)
+            return _bilinear_quad(
+                lambda x, y: quad[(face * length + y) * length + x],
+                x_real, y_real, lm1, lm1)
         return _bilinear_gather(fetch, x_real, y_real, lm1, lm1)
     x = jnp.clip(x_real, 0.0, lm1).astype(jnp.int32)
     y = jnp.clip(y_real, 0.0, lm1).astype(jnp.int32)

@@ -812,10 +812,15 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
     permutation scatter was the expensive part (TPU scatters serialize),
     and sort_key_val of (key, iota) IS that inverse permutation.
 
-    Padded rows duplicate lane 0; they are force-deactivated (and restart
-    with zero radiance), so they trace nothing and flush nothing.
+    Radiance rides THROUGH the compaction: kept lanes carry their cumulative
+    radiance in the wavefront, and only the dropped tail (the all-dead lanes
+    beyond out_size) is scatter-added into the full-res buffer here.  A
+    same-size repack therefore does ZERO scatter work — the 2M-lane
+    at[].add flush every bounce was ~40% of the repack stage — and each
+    lane's radiance is flushed exactly once (at the repack that drops it,
+    or at the end-of-trace flush).
     """
-    radiance_full = radiance_full.at[live_ids].add(state.radiance)
+    p_in = state.origin.shape[0]
     act = state.active
     d = state.direction
     octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(jnp.int32)
@@ -829,34 +834,53 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
                      0, g - 1)
         cell = (c[:, 0] * g + c[:, 1]) * g + c[:, 2]
         key = jnp.where(act, cell * 8 + octant, g * g * g * 8)
+        key_bits = (g * g * g * 8 + 1).bit_length()
     else:
         key = jnp.where(act, octant, 8)
-    sel = jnp.argsort(key, stable=True)[:out_size].astype(jnp.int32)
+        key_bits = 4
+    lane_bits = max(p_in - 1, 1).bit_length()
+    if key_bits + lane_bits <= 31:
+        # ONE int32 sort instead of a (key, iota) key-value argsort: the
+        # lane index packs into the low bits as the stability tiebreaker, so
+        # jnp.sort moves half the payload of sort_key_val — the sort is the
+        # repack's dominant cost at 2M lanes
+        packed_key = jax.lax.shift_left(key, lane_bits) | jnp.arange(
+            p_in, dtype=jnp.int32)
+        perm = (jnp.sort(packed_key)
+                & ((1 << lane_bits) - 1)).astype(jnp.int32)
+    else:  # huge frames / fine grids: plain stable argsort
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sel = perm[:out_size]
     valid = jnp.arange(out_size) < jnp.sum(act)
-    # ONE wide row gather instead of nine: TPU gathers pay per row, so the
-    # whole lane state (15 floats + active + the two int ids, exact in f32
-    # below 2^24) is packed into an (P, 18) matrix first — the packing is
+    # ONE wide row gather instead of ten: TPU gathers pay per row, so the
+    # whole lane state (18 floats + active + the two int ids, exact in f32
+    # below 2^24) is packed into an (P, 21) matrix first — the packing is
     # cheap streaming traffic, the gather is the expensive part.
     packed = jnp.concatenate(
         [state.origin, state.direction, state.throughput,
-         state.med_absorption, state.med_scattering,
+         state.med_absorption, state.med_scattering, state.radiance,
          act[:, None].astype(jnp.float32),
          pixel_ids[:, None].astype(jnp.float32),
          live_ids[:, None].astype(jnp.float32)], axis=1,
-    )[sel]  # (out_size, 18)
+    )[sel]  # (out_size, 21)
+    if p_in > out_size:
+        # flush ONLY the dropped (all-dead) tail into the full-res buffer
+        drop = perm[out_size:]
+        radiance_full = radiance_full.at[live_ids[drop]].add(
+            state.radiance[drop])
     new_state = RayState(
         origin=packed[:, 0:3],
         direction=packed[:, 3:6],
         throughput=packed[:, 6:9],
-        radiance=jnp.zeros((out_size, 3), jnp.float32),
-        active=(packed[:, 9 + 6] > 0.5) & valid,
+        radiance=packed[:, 15:18],
+        active=(packed[:, 18] > 0.5) & valid,
         med_absorption=packed[:, 9:12],
         med_scattering=packed[:, 12:15],
     )
     # next bounce's traversal seed, fused here so no standalone
     # full-wavefront seed dispatch runs between bounces
-    return (new_state, packed[:, 16].astype(jnp.int32),
-            packed[:, 17].astype(jnp.int32), radiance_full,
+    return (new_state, packed[:, 19].astype(jnp.int32),
+            packed[:, 20].astype(jnp.int32), radiance_full,
             _seed_bound_of(new_state, scene))
 
 

@@ -95,3 +95,38 @@ def test_sky_gradient():
     away = np.asarray(procedural_sky(jnp.asarray([[0.41, -0.41, 0.82]])))
     assert np.allclose(toward[0], 1.0, atol=1e-2)  # t≈1 → white
     assert np.allclose(away[0], [0.15, 0.3, 0.5], atol=1e-2)
+
+
+def test_atlas_quad_path_matches_four_tap(rng_np):
+    """The table-quad bilinear (one per-lane gather, used when the wavefront
+    dwarfs the atlas) must match the 4-tap gather path exactly — the only
+    differing taps carry a blend weight of exactly 0."""
+    from pathtracerwithcuda_tpu.ops.texture import sample_atlas
+
+    imgs = [rng_np.random((5, 7, 3)).astype(np.float32),
+            rng_np.random((16, 16, 3)).astype(np.float32)]
+    atlas = TextureAtlas.pack(imgs)
+    t_total = int(atlas.data.shape[0])
+    p = 4 * t_total + 128  # big enough to trigger the quad path
+    tid = jnp.asarray(rng_np.integers(0, 2, p), jnp.int32)
+    uv = jnp.asarray(rng_np.random((p, 2)) * 3.0 - 1.0, jnp.float32)
+    got = sample_atlas(atlas, tid, uv, True)          # quad path (4T <= P)
+    want = sample_atlas(atlas, tid[: 4 * t_total - 4],
+                        uv[: 4 * t_total - 4], True)  # 4-tap path (4T > P)
+    np.testing.assert_allclose(np.asarray(got)[: 4 * t_total - 4],
+                               np.asarray(want), rtol=1e-6, atol=1e-7)
+
+
+def test_env_quad_path_matches_four_tap(rng_np):
+    from pathtracerwithcuda_tpu.ops.texture import sample_cube_map
+
+    env = jnp.asarray(rng_np.random((6, 8, 8, 3)), jnp.float32)
+    t_total = 6 * 8 * 8
+    p = 4 * t_total + 128
+    d = rng_np.normal(size=(p, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    got = sample_cube_map(env, d, True)               # quad path
+    want = sample_cube_map(env, d[: 4 * t_total - 4], True)  # 4-tap path
+    np.testing.assert_allclose(np.asarray(got)[: 4 * t_total - 4],
+                               np.asarray(want), rtol=1e-6, atol=1e-7)
