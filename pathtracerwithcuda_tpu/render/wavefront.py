@@ -797,6 +797,13 @@ def _bucket_for(count: int, cur: int, ladder) -> int:
 def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
                 scene: SceneData, out_size: int, key_mode: str = "octant",
                 box_lo=None, box_hi=None):
+    return _repack_core(state, pixel_ids, live_ids, radiance_full, scene,
+                        out_size, key_mode, box_lo, box_hi)
+
+
+def _repack_core(state: RayState, pixel_ids, live_ids, radiance_full,
+                 scene: SceneData, out_size: int, key_mode: str = "octant",
+                 box_lo=None, box_hi=None):
     """Flush lane radiance into the full-res buffer, then compact the active
     lanes into a dense wavefront of `out_size` lanes, grouped by direction
     octant.
@@ -887,6 +894,53 @@ def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
 @jax.jit
 def _flush_jit(radiance_full, live_ids, radiance):
     return radiance_full.at[live_ids].add(radiance)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "out_size", "key_mode",
+                                    "with_tri"),
+                   donate_argnums=(3,))
+def _bounce_repack_jit(state: RayState, scene: SceneData,
+                       config: RenderConfig, radiance_full, key, depth,
+                       pixel_ids, live_ids, tri_full, box_lo, box_hi,
+                       out_size: int, key_mode: str, with_tri: bool):
+    """Shade + compaction fused into ONE dispatch (predicted-bucket loop
+    only — the bucket must be known before dispatch).  Halves the non-
+    traversal dispatch count per bounce, which is the dominant shard_map
+    tax in the weak-scaling measurement."""
+    u = rng.bounce_uniforms(key, depth, pixel_ids)
+    rr = _maybe_rr_uniforms(config, key, pixel_ids, depth)
+    tri = tri_full[: state.origin.shape[0]] if with_tri else None
+    new_state = bounce_step(state, scene, config, u, tri_override=tri,
+                            rr_u=rr, depth=depth)
+    alive = jnp.sum(new_state.active)
+    ns, pids, lids, rf, bound = _repack_core(
+        new_state, pixel_ids, live_ids, radiance_full, scene, out_size,
+        key_mode, box_lo, box_hi)
+    return ns, pids, lids, rf, bound, alive
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "out_size_local", "key_mode",
+                                    "with_tri", "mesh"),
+                   donate_argnums=(3,))
+def _bounce_repack_shard(state, scene, config: RenderConfig, radiance_full,
+                         key, depth, pixel_ids, live_ids, tri_full, box_lo,
+                         box_hi, out_size_local: int, key_mode: str,
+                         with_tri: bool, mesh):
+    def body(s, sc, rf, k, dep, pids, lids, tri, lo, hi):
+        ns, p_, l_, rf_, bound, alive = _bounce_repack_jit(
+            s, sc, config, rf, k, dep, pids, lids, tri, lo, hi,
+            out_size=out_size_local, key_mode=key_mode, with_tri=with_tri)
+        return ns, p_, l_, rf_, bound, alive[None]
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(), _PS(RAY_AXIS), _PS(), _PS(),
+                  _PS(RAY_AXIS), _PS(RAY_AXIS), _PS(RAY_AXIS), _PS(), _PS()),
+        out_specs=(_PS(RAY_AXIS),) * 6, check_vma=False)
+    return fn(state, scene, radiance_full, key, depth, pixel_ids, live_ids,
+              tri_full, box_lo, box_hi)
 
 
 # ---- shard_map wrappers: the SAME host-loop stages, each running per-chip
@@ -1128,36 +1182,37 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
 
     import numpy as _np
 
+    def run_traverse(state, b):
+        """Pallas traversal (its own fixed-shape program) → tri ids or None."""
+        if not use_packets:
+            return None
+        if mesh is None:
+            if wide is not None:
+                return _traverse_wide_jit(
+                    state.origin, state.direction, b, *tables,
+                    num_wide=wide.num_wide,
+                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                    interpret=interp)
+            return _traverse_fixed_jit(
+                state.origin, state.direction, b, *tables,
+                num_nodes=scene.num_bvh_nodes,
+                num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                interpret=interp)
+        if wide is not None:
+            return _traverse_wide_shard(
+                state.origin, state.direction, b, *tables,
+                num_wide=wide.num_wide,
+                num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+                mesh=mesh, interpret=interp)
+        return _traverse_fixed_shard(
+            state.origin, state.direction, b, *tables,
+            num_nodes=scene.num_bvh_nodes,
+            num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
+            mesh=mesh, interpret=interp)
+
     def run_bounce(state, pixel_ids, depth, b):
         """Traverse (packets) + shade for one bounce → (state, alive_dev)."""
-        tri_full = None
-        if use_packets:
-            if mesh is None:
-                if wide is not None:
-                    tri_full = _traverse_wide_jit(
-                        state.origin, state.direction, b, *tables,
-                        num_wide=wide.num_wide,
-                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                        interpret=interp)
-                else:
-                    tri_full = _traverse_fixed_jit(
-                        state.origin, state.direction, b, *tables,
-                        num_nodes=scene.num_bvh_nodes,
-                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                        interpret=interp)
-            else:
-                if wide is not None:
-                    tri_full = _traverse_wide_shard(
-                        state.origin, state.direction, b, *tables,
-                        num_wide=wide.num_wide,
-                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                        mesh=mesh, interpret=interp)
-                else:
-                    tri_full = _traverse_fixed_shard(
-                        state.origin, state.direction, b, *tables,
-                        num_nodes=scene.num_bvh_nodes,
-                        num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                        mesh=mesh, interpret=interp)
+        tri_full = run_traverse(state, b)
         if mesh is None:
             if tri_full is not None:
                 return _bounce_with_tri_jit(
@@ -1166,6 +1221,24 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         return _bounce_shard(
             state, scene, config, key, depth, pixel_ids, tri_full, mesh,
             with_tri=tri_full is not None)
+
+    def run_bounce_repack(state, pixel_ids, live_ids, radiance_full, depth,
+                          b, bucket):
+        """Traverse, then ONE fused shade+compaction dispatch (predicted
+        loop) → (state, pixel_ids, live_ids, radiance_full, bound, alive)."""
+        tri_full = run_traverse(state, b)
+        with_tri = tri_full is not None
+        if tri_full is None:  # static placeholder so specs stay uniform
+            tri_full = jnp.zeros((state.origin.shape[0],), jnp.int32)
+        if mesh is None:
+            return _bounce_repack_jit(
+                state, scene, config, radiance_full, key, depth, pixel_ids,
+                live_ids, tri_full, box_lo, box_hi, out_size=bucket,
+                key_mode=config.repack_key, with_tri=with_tri)
+        return _bounce_repack_shard(
+            state, scene, config, radiance_full, key, depth, pixel_ids,
+            live_ids, tri_full, box_lo, box_hi, out_size_local=bucket,
+            key_mode=config.repack_key, with_tri=with_tri, mesh=mesh)
 
     def repack(state, pixel_ids, live_ids, radiance_full, bucket):
         """→ (state, pixel_ids, live_ids, radiance_full, next seed bound)."""
@@ -1194,25 +1267,33 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         alive_log: list = []
         bucket_log: list = []
         for depth in range(depth_n):
-            state, alive = run_bounce(state, pixel_ids, depth, bound)
+            pred = predicted[depth] if depth < depth_n - 1 else 0
+            if depth < depth_n - 1 and pred > 0:
+                # one traversal dispatch + ONE fused shade+repack dispatch
+                est = int(pred * 1.125) + 256
+                bucket = _bucket_for(min(est, cur), cur, ladder)
+                (state, pixel_ids, live_ids, radiance_full, bound,
+                 alive) = run_bounce_repack(
+                    state, pixel_ids, live_ids, radiance_full, depth, bound,
+                    bucket)
+                alive_log.append(alive)
+                bucket_log.append(bucket)
+                cur = bucket
+            else:
+                state, alive = run_bounce(state, pixel_ids, depth, bound)
+                alive_log.append(alive)
+                bucket_log.append(None)
             try:
                 alive.copy_to_host_async()
             except AttributeError:  # pragma: no cover (non-jax.Array stand-ins)
                 pass
-            alive_log.append(alive)
-            bucket_log.append(None)
-            if depth < depth_n - 1:
-                pred = predicted[depth]
-                if pred == 0:
-                    # predicted tail — verify before the early exit (at most
-                    # one sync per trace, at the actual tail)
-                    actual = int(_np.max(_np.asarray(alive)))
-                    if actual == 0:
-                        break
-                    est = actual
-                else:
-                    est = int(pred * 1.125) + 256
-                bucket = _bucket_for(min(est, cur), cur, ladder)
+            if depth < depth_n - 1 and pred == 0:
+                # predicted tail — verify before the early exit (at most
+                # one sync per trace, at the actual tail)
+                actual = int(_np.max(_np.asarray(alive)))
+                if actual == 0:
+                    break
+                bucket = _bucket_for(min(actual, cur), cur, ladder)
                 state, pixel_ids, live_ids, radiance_full, bound = repack(
                     state, pixel_ids, live_ids, radiance_full, bucket)
                 bucket_log[depth] = bucket
