@@ -1172,6 +1172,13 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         elif use_packets:
             bound = _seed_bound_jit(state, scene)
     else:
+        # commit replicated inputs to the mesh ONCE so no shard_map call
+        # pays a resharding copy for them (scene + kernel tables are the
+        # big ones; a no-op when already placed)
+        rep = jax.NamedSharding(mesh, _PS())
+        scene = jax.device_put(scene, rep)
+        if use_packets:
+            tables = jax.device_put(tables, rep)
         state = _raygen_shard(camera, config, key, pixel_ids, mesh)
         live_ids, radiance_full = _init_wavefront_shard(p_local, mesh)
         if p_state != p_local:
@@ -1303,7 +1310,10 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         else:
             radiance = _flush_shard(radiance_full, live_ids, state.radiance,
                                     mesh)
-        counts = [int(_np.max(_np.asarray(a))) for a in alive_log]
+        # ONE batched transfer for all depths' counts (jax.device_get on the
+        # list coalesces; per-array np.asarray paid a ~24 ms tunnel
+        # roundtrip each on the sharded path)
+        counts = [int(_np.max(a)) for a in jax.device_get(alive_log)]
         _SEG_PROFILE[prof_key] = counts + [0] * (depth_n - len(counts))
         if any(b is not None and c > b for c, b in zip(counts, bucket_log)):
             return trace_radiance_host(scene, camera, config, key,
