@@ -52,6 +52,11 @@ SUITE = {
                            depth=8), 600),
     "fwd_bwd_256": (dict(scene="flagship", width=256, height=256, spp=1,
                          depth=4, backward=True), 420),
+    # the BASELINE-named fwd+bwd workload: one full gradient step at 1080p
+    # (pre-pass records tri ids through the Pallas traversal, then
+    # value_and_grad over the checkpointed scan replay)
+    "fwd_bwd_1080p": (dict(scene="flagship", width=1920, height=1080, spp=1,
+                           depth=8, backward=True), 600),
     # weak-scaling evidence (BASELINE.md ≥90% target): the sharded host loop
     # on a 1-way mesh vs the unsharded loop — quantifies the shard_map tax,
     # which is the ONLY per-chip overhead of scaling out (the forward path
@@ -318,7 +323,7 @@ def main() -> None:
 
     results = {}
     order = [FLAGSHIP, "cornell_256_4spp_d4", "mesh_bvh_512", "sss_dof_1080p",
-             "fwd_bwd_256", "weak_scaling_1way"]
+             "fwd_bwd_256", "fwd_bwd_1080p", "weak_scaling_1way"]
     for name in order:
         kw, budget = SUITE[name]
         left = deadline - time.monotonic()
