@@ -87,7 +87,7 @@ def _slab8(sub_t, o, inv_d, best_t):
 
 def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref, out_t_ref,
-            out_tri_ref, stack_ref, list_ref, bt_ref, btri_ref, *,
+            out_tri_ref, stack_ref, list_ref, mail_ref, bt_ref, btri_ref, *,
             num_wide: int, pad_tri: int, chains: int, leaf_k: int,
             walk_only: bool = False):
     """Wide-BVH traversal; see module docstring.
@@ -189,30 +189,46 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                         acc = h if acc is None else acc + h
                     bits32.append(jnp.sum(acc))  # ONE vector→scalar sync
                 for r in range(ROWS):
-                    bits = bits32[r // 2]
-                    w = nodes[r]
-                    # ordered descent: slots are presorted front-to-back
-                    # along axis_ref[w]; negative-majority rows walk them
-                    # reversed.  Iterating far→near means the NEAREST child
-                    # is pushed last → popped first, and near leaves land
-                    # at the front of the drain list.
-                    ax = axis_ref[w]
-                    sgn = jnp.where(
-                        ax == 0, sgn_bits[0],
-                        jnp.where(ax == 1, sgn_bits[1], sgn_bits[2]))
-                    neg = (jax.lax.shift_right_logical(sgn, jnp.int32(r)) & 1) > 0
-                    for k in range(ARITY - 1, -1, -1):
-                        cslot = jnp.where(neg, jnp.int32(ARITY - 1 - k),
-                                          jnp.int32(k))
-                        hit_c = (jax.lax.shift_right_logical(
-                            bits, 8 * (r % 2) + cslot) & 1) > 0
-                        m = meta_ref[w * ARITY + cslot]
-                        push = hit_c & (m > 0)
-                        leaf = hit_c & (m < 0)
-                        stack_ref[i, r, sps[r]] = m - 1
-                        sps[r] = sps[r] + jnp.where(push, 1, 0)
-                        list_ref[i, r, curs[r]] = -m
-                        curs[r] = curs[r] + jnp.where(leaf, 1, 0)
+                    bits_r = (jax.lax.shift_right_logical(
+                        bits32[r // 2], 8 * (r % 2)) & 0xFF)
+                    # the 64-scalar-op slot loop runs ONLY for rows whose
+                    # hit mask is non-empty — with ordered descent + tight
+                    # best_t a large share of pops are stale and hit nothing
+                    mail_ref[i, r, 0] = sps[r]
+                    mail_ref[i, r, 1] = curs[r]
+
+                    @pl.when(bits_r != 0)
+                    def _(r=r, w=nodes[r], bits_r=bits_r, s0=sps[r],
+                          c0=curs[r]):
+                        # ordered descent: slots are presorted front-to-back
+                        # along axis_ref[w]; negative-majority rows walk
+                        # them reversed.  Iterating far→near means the
+                        # NEAREST child is pushed last → popped first, and
+                        # near leaves land at the front of the drain list.
+                        ax = axis_ref[w]
+                        sgn = jnp.where(
+                            ax == 0, sgn_bits[0],
+                            jnp.where(ax == 1, sgn_bits[1], sgn_bits[2]))
+                        neg = (jax.lax.shift_right_logical(
+                            sgn, jnp.int32(r)) & 1) > 0
+                        s, cur = s0, c0
+                        for k in range(ARITY - 1, -1, -1):
+                            cslot = jnp.where(neg, jnp.int32(ARITY - 1 - k),
+                                              jnp.int32(k))
+                            hit_c = (jax.lax.shift_right_logical(
+                                bits_r, cslot) & 1) > 0
+                            m = meta_ref[w * ARITY + cslot]
+                            push = hit_c & (m > 0)
+                            leaf = hit_c & (m < 0)
+                            stack_ref[i, r, s] = m - 1
+                            s = s + jnp.where(push, 1, 0)
+                            list_ref[i, r, cur] = -m
+                            cur = cur + jnp.where(leaf, 1, 0)
+                        mail_ref[i, r, 0] = s
+                        mail_ref[i, r, 1] = cur
+
+                    sps[r] = mail_ref[i, r, 0]
+                    curs[r] = mail_ref[i, r, 1]
                 return tuple(sps) + tuple(curs)
 
             init = tuple(c[:ROWS]) + tuple(jnp.int32(0) for _ in range(ROWS))
@@ -308,6 +324,7 @@ def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
         scratch_shapes=[
             pltpu.SMEM((chains, ROWS, STACK_CAP), jnp.int32),
             pltpu.SMEM((chains, ROWS, SEG_CAP + ARITY + 1), jnp.int32),
+            pltpu.SMEM((chains, ROWS, 2), jnp.int32),  # pl.when mailbox
             pltpu.VMEM((1, ROWS, LANES), jnp.float32),
             pltpu.VMEM((1, ROWS, LANES), jnp.int32),
         ],
