@@ -122,80 +122,89 @@ def build_lbvh(tri_lo, tri_hi, num_tris: int):
 
     first = jnp.minimum(i, j)
     last = jnp.maximum(i, j)
-
-    # split position: longest prefix within [first, last]
-    delta_node = delta(first, last)
-
-    def split_step(carry, step_pow):
-        s = carry
-        step = jnp.ceil(l.astype(jnp.float32) / step_pow).astype(jnp.int32)
-        cond = delta(i, i + (s + step) * d) > delta_node
-        return jnp.where((step >= 1) & cond, s + step, s), None
-
-    s, _ = jax.lax.scan(split_step, jnp.zeros(i.shape, jnp.int32),
-                        2.0 ** jnp.arange(1, 26, dtype=jnp.float32))
-    gamma = i + s * d + jnp.minimum(d, 0)  # split leaf index
-
-    left_is_leaf = jnp.minimum(i, j) == gamma
-    right_is_leaf = jnp.maximum(i, j) == gamma + 1
-    # child ids: internal nodes 0..t-2, leaves t-1..2t-2 (leaf k -> t-1+k)
-    left = jnp.where(left_is_leaf, t - 1 + gamma, gamma)
-    right = jnp.where(right_is_leaf, t - 1 + gamma + 1, gamma + 1)
+    # NOTE: the Karras split search (find gamma with the longest common
+    # prefix inside [first, last]) is NOT needed: the preorder layout and
+    # the node AABBs below are both closed forms of the (first, last)
+    # ranges alone, so parent→child links never materialize.
 
     num_nodes = 2 * t - 1
     first_all = jnp.concatenate([first, jnp.arange(t)])
     last_all = jnp.concatenate([last, jnp.arange(t)])
-    left_all = jnp.concatenate([left, jnp.full((t,), -1)])
-    right_all = jnp.concatenate([right, jnp.full((t,), -1)])
     is_leaf = jnp.arange(num_nodes) >= t - 1
 
-    # --- bottom-up AABBs: parent = union(children), fixed-depth sweeps
+    # --- bottom-up AABBs WITHOUT a depth-bound sweep: an internal node's
+    # box is the union of its contiguous Morton-leaf range [first, last],
+    # answered by range-min/max sparse tables over the sorted leaf boxes —
+    # log2(t) elementwise table levels + TWO gathers per node, replacing the
+    # 64-iteration child-gather sweep (the dominant cost of the r3 builder:
+    # 726 ms for 66k tris on v5e, dominated by 64x serialized passes).
     lo_sorted = tri_lo[order]
     hi_sorted = tri_hi[order]
-    node_lo = jnp.where(is_leaf[:, None], jnp.concatenate(
-        [jnp.full((t - 1, 3), jnp.inf), lo_sorted]), jnp.full((num_nodes, 3), jnp.inf))
-    node_hi = jnp.where(is_leaf[:, None], jnp.concatenate(
-        [jnp.full((t - 1, 3), -jnp.inf), hi_sorted]), jnp.full((num_nodes, 3), -jnp.inf))
+    log_t = max((t - 1).bit_length(), 1)
 
-    li = jnp.clip(left_all, 0, num_nodes - 1)
-    ri = jnp.clip(right_all, 0, num_nodes - 1)
+    def shift_up(x, h, fill):
+        return jnp.concatenate(
+            [x[h:], jnp.full((h,) + x.shape[1:], fill, x.dtype)])
 
-    def aabb_sweep(carry, _):
-        lo, hi = carry
-        new_lo = jnp.where(is_leaf[:, None], lo,
-                           jnp.minimum(lo[li], lo[ri]))
-        new_hi = jnp.where(is_leaf[:, None], hi,
-                           jnp.maximum(hi[li], hi[ri]))
-        return (new_lo, new_hi), None
+    min_tab = [lo_sorted]
+    max_tab = [hi_sorted]
+    for k in range(1, log_t + 1):
+        h = 1 << (k - 1)
+        min_tab.append(jnp.minimum(min_tab[-1],
+                                   shift_up(min_tab[-1], h, jnp.inf)))
+        max_tab.append(jnp.maximum(max_tab[-1],
+                                   shift_up(max_tab[-1], h, -jnp.inf)))
+    min_tab = jnp.stack(min_tab)  # (log_t+1, t, 3)
+    max_tab = jnp.stack(max_tab)
 
-    (node_lo, node_hi), _ = jax.lax.scan(
-        aabb_sweep, (node_lo, node_hi), None, length=MAX_DEPTH
-    )
+    length = last - first + 1  # >= 2 for internal nodes
+    k_n = 31 - jax.lax.clz(length)        # floor(log2(length))
+    off = length - (1 << k_n)             # second window start - first
+    flat_min = min_tab.reshape(-1, 3)
+    flat_max = max_tab.reshape(-1, 3)
+    int_lo = jnp.minimum(flat_min[k_n * t + first],
+                         flat_min[k_n * t + first + off])
+    int_hi = jnp.maximum(flat_max[k_n * t + first],
+                         flat_max[k_n * t + first + off])
+    node_lo = jnp.concatenate([int_lo, lo_sorted])
+    node_hi = jnp.concatenate([int_hi, hi_sorted])
 
-    # --- preorder numbering: top-down sweeps
+    # --- preorder numbering in CLOSED FORM (replaces the 64x2-scatter
+    # top-down sweep).  A node m precedes n in preorder iff m is an
+    # ancestor of n OR m's subtree lies entirely to the left
+    # (last(m) < first(n)), so
+    #     preorder(n) = #ancestors(n) + #{m : last(m) < first(n)}.
+    # #ancestors of LEAF k = #internal intervals covering k (a difference
+    # array + prefix sum).  For INTERNAL [f, l], laminarity makes every
+    # internal containing leaf f either an ancestor or a same-first
+    # descendant, so #ancestors = cover(f) − #{internals: first == f,
+    # last <= l}, the latter read off a (first asc, last desc) sort.
+    diff = (jnp.zeros((t + 1,), jnp.int32)
+            .at[first].add(1)
+            .at[last + 1].add(-1))
+    cover = jnp.cumsum(diff)[:t]                    # (t,) per-leaf depth
+    sorted_last_all = jnp.sort(last_all)
+    lt_of = lambda pos: jnp.searchsorted(
+        sorted_last_all, pos, side="left").astype(jnp.int32)
+
+    ord_by_last = jnp.argsort(t - 1 - last, stable=True)
+    ord_by_first = jnp.argsort(first[ord_by_last], stable=True)
+    sorted_ids = ord_by_last[ord_by_first]          # (t-1,) internal ids
+    fs = first[sorted_ids]
+    grp_start = jnp.searchsorted(fs, fs, side="left").astype(jnp.int32)
+    grp_end = jnp.searchsorted(fs, fs, side="right").astype(jnp.int32)
+    rank = jnp.arange(t - 1, dtype=jnp.int32) - grp_start
+    # same-first nodes with last <= own: group size − (those with larger last)
+    pre_sorted = (cover[fs] - (grp_end - grp_start) + rank
+                  + lt_of(fs))
+    pre_internal = jnp.zeros((t - 1,), jnp.int32).at[sorted_ids].set(
+        pre_sorted)
+    leaves = jnp.arange(t, dtype=jnp.int32)
+    pre_leaf = cover[leaves] + lt_of(leaves)
+    preorder = jnp.concatenate([pre_internal, pre_leaf])
+
     # subtree sizes: internal [f,l] covers 2(l-f)+1 nodes; leaf = 1
     size = jnp.where(is_leaf, 1, 2 * (last_all - first_all) + 1)
-    preorder = jnp.where(jnp.arange(num_nodes) == 0, 0, -1)
-
-    def pre_sweep(carry, _):
-        pre = carry
-        # children of nodes with known preorder get theirs
-        parent_known = (pre >= 0) & ~is_leaf
-        lp = pre + 1
-        rp = pre + 1 + size[li]
-        new = pre
-        # scatter: for each internal node, set left/right child preorders
-        new = new.at[li].set(
-            jnp.where(parent_known, lp, new[li]), mode="drop"
-        )
-        new = new.at[ri].set(
-            jnp.where(parent_known, rp, new[ri]), mode="drop"
-        )
-        # never regress an already-known value
-        return jnp.maximum(new, pre), None
-
-    preorder, _ = jax.lax.scan(pre_sweep, preorder, None, length=MAX_DEPTH)
-
     skip = preorder + size
 
     # --- scatter into preorder slots

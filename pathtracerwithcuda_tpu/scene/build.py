@@ -140,7 +140,10 @@ def _build_mesh_bvh(v: np.ndarray, leaf_size: int, num_buckets: int,
 
         lo = v.min(axis=1)
         hi = v.max(axis=1)
-        result = build_lbvh(jnp.asarray(lo), jnp.asarray(hi), v.shape[0])
+        # ONE batched device→host transfer: per-array np.asarray paid a
+        # tunnel roundtrip each (~5x the 137 ms build itself on v5e/axon)
+        result = jax.device_get(
+            build_lbvh(jnp.asarray(lo), jnp.asarray(hi), v.shape[0]))
         return lbvh_to_flat(result), np.asarray(result["order"], np.int64)
     try:
         from pathtracerwithcuda_tpu.native import native_available, native_build_sah
