@@ -60,3 +60,44 @@ def test_render_pass_host_matches():
         render_pass(scene, cam, config.replace(loop_mode="while"), accum, 0, key)
     )
     assert np.allclose(a_host, a_jit, atol=1e-6)
+
+
+def test_predicted_buckets_and_overflow_recovery(monkeypatch):
+    """The predicted-bucket host loop (zero per-bounce syncs) must be
+    bit-identical to the synchronous loop, and a WRONG profile — live rays
+    outgrowing a predicted compaction bucket would be dropped — must be
+    detected from the async counts and transparently re-run synchronously."""
+    from pathtracerwithcuda_tpu.render import wavefront as wf
+
+    # tiny compaction quanta so the frame gets a real bucket ladder; the
+    # frame must beat the prediction's fixed +256 headroom so a poisoned
+    # profile genuinely overflows its bucket
+    monkeypatch.setattr(wf, "_COMPACT_MIN", 32)
+    monkeypatch.setattr(wf, "_COMPACT_ALIGN", 32)
+    wf._SEG_PROFILE.clear()
+
+    scene, _, config = _setup("host")
+    config = config.replace(width=64, height=48)  # scene data is frame-size independent
+    cam = RenderCamera.create(
+        eye=(0, 1, 8.0), view=(0, 0, -1.0), up=(0, 1, 0),
+        width=64, height=48, fov_x_deg=45.0, focal_distance=8.0,
+    )
+    key = rng.pass_key(jax.random.PRNGKey(3), 0)
+    r_sync = np.asarray(trace_radiance_host(scene, cam, config, key))
+
+    # second trace uses the recorded profile (predicted loop)
+    prof_keys = list(wf._SEG_PROFILE)
+    assert prof_keys, "sync trace must record a live-count profile"
+    r_pred = np.asarray(trace_radiance_host(scene, cam, config, key))
+    np.testing.assert_array_equal(r_sync, r_pred)
+
+    # poison the profile: absurdly small predictions force buckets the live
+    # wavefront overflows -> the trace must discard itself and re-run
+    for k in prof_keys:
+        wf._SEG_PROFILE[k] = [1] * config.max_tracer_depth
+    r_over = np.asarray(trace_radiance_host(scene, cam, config, key))
+    np.testing.assert_array_equal(r_sync, r_over)
+    # the overflow genuinely happened: real live counts exceed the bucket a
+    # pred=1 profile implies (est = 1*1.125 + 256 → ~288-lane bucket)
+    assert wf._SEG_PROFILE[prof_keys[0]][0] > 512
+    wf._SEG_PROFILE.clear()
