@@ -51,29 +51,50 @@ class RenderSession:
         self.last_frame_ms = 0.0
 
     # ------------------------------------------------------------------
-    def render(self) -> None:
+    def render(self, on_error: str = "raise") -> None:
         """Advance one progressive pass (reference render(),
-        Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate)."""
+        Core/path_tracer.cpp:40-99: bump pass counter, trace, accumulate).
+
+        on_error: "raise" (default) propagates device failures;
+        "skip" logs and leaves the accumulation untouched — the analog of
+        the reference's print-the-CUDA-error-and-keep-looping behaviour
+        (its check_cuda_error prints and the render loop continues), for
+        long interactive sessions over flaky device links.
+        """
         t0 = time.monotonic()
         from pathtracerwithcuda_tpu.render.wavefront import choose_loop_mode
 
-        if choose_loop_mode(self.scene, self.config) == "host":
-            from pathtracerwithcuda_tpu.render.wavefront import render_pass_host
+        prev_accum = self.accum
+        try:
+            if choose_loop_mode(self.scene, self.config) == "host":
+                from pathtracerwithcuda_tpu.render.wavefront import (
+                    render_pass_host,
+                )
 
-            self.accum = render_pass_host(
-                self.scene, self.camera.get_render_camera(), self.config,
-                self.accum, self.pass_counter, self.base_key,
-            )
-        else:
-            self.accum = render_pass(
-                self.scene,
-                self.camera.get_render_camera(),
-                self.config,
-                self.accum,
-                self.pass_counter,
-                self.base_key,
-            )
-        self.accum.block_until_ready()
+                self.accum = render_pass_host(
+                    self.scene, self.camera.get_render_camera(), self.config,
+                    self.accum, self.pass_counter, self.base_key,
+                )
+            else:
+                self.accum = render_pass(
+                    self.scene,
+                    self.camera.get_render_camera(),
+                    self.config,
+                    self.accum,
+                    self.pass_counter,
+                    self.base_key,
+                )
+            self.accum.block_until_ready()
+        except Exception:
+            if on_error != "skip":
+                raise
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "render pass %d failed; accumulation unchanged",
+                self.pass_counter)
+            self.accum = prev_accum
+            return
         self.last_frame_ms = (time.monotonic() - t0) * 1e3
         self.pass_counter += 1
 

@@ -762,8 +762,8 @@ def _bounce_with_tri_jit(state: RayState, scene: SceneData,
 # 2.07M) dispatching at the full wavefront — a 3/4-of-each-power rung
 # catches exactly that shape, so the ladder is now {p, 3/4, 1/2, 3/8, ...}
 # (all chunk-aligned).  Compiles are amortized by the persistent cache.
-_COMPACT_MIN = 65536        # don't shrink dispatches below this
-_COMPACT_ALIGN = 65536      # traversal chunk size — keep kernel padding static
+_COMPACT_MIN = 32768        # don't shrink dispatches below this
+_COMPACT_ALIGN = 32768      # traversal chunk size — keep kernel padding static
 
 
 def _bucket_ladder(p: int):
@@ -960,15 +960,6 @@ def _raygen_shard(camera, config: RenderConfig, key, pixel_ids, mesh):
         mesh=mesh, in_specs=(_PS(), _PS(), _PS(RAY_AXIS)),
         out_specs=_PS(RAY_AXIS), check_vma=False)
     return fn(camera, key, pixel_ids)
-
-
-@functools.partial(jax.jit, static_argnames=("p_fixed_local", "mesh"))
-def _pad_rays_shard(state, scene, p_fixed_local: int, mesh):
-    fn = jax.shard_map(
-        lambda s, sc: _pad_rays_jit(s, sc, p_fixed_local),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS), _PS()),
-        out_specs=_PS(RAY_AXIS), check_vma=False)
-    return fn(state, scene)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))

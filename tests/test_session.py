@@ -231,3 +231,30 @@ def test_repack_key_modes_render_identically():
     b = np.asarray(trace_radiance_host(s_cell.scene, s_cell.camera.get_render_camera(),
                                        cfg_cell, key))
     assert np.array_equal(a, b)
+
+
+def test_render_on_error_skip(monkeypatch):
+    """on_error='skip' is the reference's print-and-continue failure mode
+    (check_cuda_error prints, the window loop keeps running): a failing
+    pass leaves the accumulation and pass counter untouched and the next
+    healthy pass proceeds."""
+    s = _session()
+    s.render()
+    good = np.asarray(s.accum).copy()
+
+    import pathtracerwithcuda_tpu.render.session as sess_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(sess_mod, "render_pass", boom)
+    monkeypatch.setattr(
+        "pathtracerwithcuda_tpu.render.wavefront.render_pass_host", boom)
+    with pytest.raises(RuntimeError):
+        s.render()
+    s.render(on_error="skip")  # swallowed, state unchanged
+    assert s.pass_counter == 1
+    assert np.array_equal(np.asarray(s.accum), good)
+    monkeypatch.undo()
+    s.render()  # healthy again
+    assert s.pass_counter == 2
