@@ -65,7 +65,7 @@ LANES = 128
 ROWS = 8                     # sublane rows per block; each row = one walk
 PACKET = ROWS * LANES        # rays per block (one full VPU register block)
 CHAINS = 8                   # interleaved blocks per kernel instance
-CHUNK_PACKETS = 32           # blocks per pallas dispatch (32768 rays)
+CHUNK_PACKETS = 64           # blocks per pallas dispatch (65536 rays)
 SEG_CAP = 64                 # leaf-list entries per row per walk segment
 MAX_LEAF_K = 63              # packed start*64+count encoding
 INF = jnp.float32(jnp.inf)

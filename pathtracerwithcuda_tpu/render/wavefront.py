@@ -762,8 +762,8 @@ def _bounce_with_tri_jit(state: RayState, scene: SceneData,
 # 2.07M) dispatching at the full wavefront — a 3/4-of-each-power rung
 # catches exactly that shape, so the ladder is now {p, 3/4, 1/2, 3/8, ...}
 # (all chunk-aligned).  Compiles are amortized by the persistent cache.
-_COMPACT_MIN = 32768        # don't shrink dispatches below this
-_COMPACT_ALIGN = 32768      # traversal chunk size — keep kernel padding static
+_COMPACT_MIN = 65536        # don't shrink dispatches below this
+_COMPACT_ALIGN = 65536      # traversal chunk size — keep kernel padding static
 
 
 def _bucket_ladder(p: int):
