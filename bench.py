@@ -205,7 +205,7 @@ def measure_backward(kw, passes: int = 3):
     return rays_per_call / dt, dt
 
 
-def measure_shard_overhead(kw, passes: int = 3):
+def measure_shard_overhead(kw, passes: int = 6):
     """Weak-scaling proxy on one chip: time the unsharded host loop, then the
     SAME workload through the shard_map-wrapped host loop on a 1-way mesh
     (identical per-chip shapes and pallas program).  The ratio

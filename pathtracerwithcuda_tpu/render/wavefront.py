@@ -834,8 +834,11 @@ def _repack_core(state: RayState, pixel_ids, live_ids, radiance_full,
     if key_mode.startswith("cell"):
         # coarse origin cell first (g^3 grid over the scene box), octant
         # within the cell: rows then share SUBTREES, not just direction
-        # signs — config.repack_key ("cell_octant" g=4, "cell8_octant" g=8)
-        g = 8 if key_mode.startswith("cell8") else 4
+        # signs — config.repack_key "cell_octant" (g=4) or "cell<g>_octant"
+        # (g=5 is the finest grid whose packed key still fits the single
+        # int32 sort at 2M lanes; g>=6 falls back to the slower argsort)
+        digits = "".join(c for c in key_mode[4:6] if c.isdigit())
+        g = int(digits) if digits else 4
         span = jnp.maximum(box_hi - box_lo, 1e-6)
         c = jnp.clip(((state.origin - box_lo) / span * g).astype(jnp.int32),
                      0, g - 1)
