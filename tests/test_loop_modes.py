@@ -62,6 +62,45 @@ def test_render_pass_host_matches():
     assert np.allclose(a_host, a_jit, atol=1e-6)
 
 
+def test_russian_roulette_identical_across_modes():
+    """RR survival uniforms must thread identically through the fused
+    while-loop AND the host loop's split + fused(bounce+repack) dispatches
+    — the production SSS bench path (sss_dof_config) runs RR through the
+    host loop.  Scene chosen so q = clamp(max(throughput)) sits mid-range
+    (red diffuse, q≈0.87) and kills actually land."""
+    mats = builtin_materials()
+    host = HostScene.empty()
+    host.materials = [mats["red"], mats["light"]]
+    host.sphere_centers = np.array(
+        [[0, -1001.0, 0], [0, 0.5, 0], [0, 5.0, 0]], np.float32)
+    host.sphere_radii = np.array([1000.0, 1.0, 1.2], np.float32)
+    host.sphere_material_ids = np.array([0, 0, 1], np.int32)
+    key = rng.pass_key(jax.random.PRNGKey(5), 0)
+
+    def render(loop_mode, rr_on):
+        config = RenderConfig(width=48, height=32, max_tracer_depth=5,
+                              use_sky_box=False, use_sky=True,
+                              loop_mode=loop_mode,
+                              russian_roulette=rr_on, rr_start_depth=0)
+        scene = build_scene_data(host, config)
+        cam = RenderCamera.create(
+            eye=(0, 1, 8.0), view=(0, 0, -1.0), up=(0, 1, 0),
+            width=48, height=32, fov_x_deg=45.0, focal_distance=8.0,
+        )
+        if loop_mode == "host":
+            return (np.asarray(trace_radiance_host(scene, cam, config, key)),
+                    np.asarray(trace_radiance_host(scene, cam, config, key)))
+        return np.asarray(trace_radiance(scene, cam, config, key)), None
+
+    ref, _ = render("while", True)
+    base, _ = render("while", False)
+    assert not np.array_equal(ref, base)  # RR actually changed the estimate
+    r_host, r_host2 = render("host", True)
+    assert np.allclose(ref, r_host, rtol=1e-5, atol=1e-6)
+    # the second host trace took the predicted-bucket (fused) loop
+    np.testing.assert_array_equal(r_host, r_host2)
+
+
 def test_predicted_buckets_and_overflow_recovery(monkeypatch):
     """The predicted-bucket host loop (zero per-bounce syncs) must be
     bit-identical to the synchronous loop, and a WRONG profile — live rays
