@@ -704,6 +704,9 @@ def _seed_bound_jit(state: RayState, scene: SceneData):
     return _seed_bound_of(state, scene)
 
 
+_PAD_PIXEL_ID = 1 << 30  # sentinel pixel id of wavefront padding lanes
+
+
 @functools.partial(jax.jit, static_argnames=("p_pad",))
 def _pad_state_jit(state: RayState, pixel_ids, live_ids, scene: SceneData,
                    p_pad: int):
@@ -728,7 +731,10 @@ def _pad_state_jit(state: RayState, pixel_ids, live_ids, scene: SceneData,
         med_absorption=padf(state.med_absorption),
         med_scattering=padf(state.med_scattering),
     )
-    return (new_state, padf(pixel_ids, 0), padf(live_ids, 0),
+    # padding lanes carry the out-of-range sentinel pixel id so per-depth
+    # scatters keyed on pixel id (tri-id recording) drop them; 2^30 is a
+    # power of two, exact through the f32 repack packing
+    return (new_state, padf(pixel_ids, _PAD_PIXEL_ID), padf(live_ids, 0),
             _seed_bound_of(new_state, scene))
 
 
@@ -1082,7 +1088,8 @@ _SEG_PROFILE: dict = {}
 
 def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                         config: RenderConfig, key, pixel_ids=None, *,
-                        stats=None, mesh=None, _no_predict=False) -> Array:
+                        stats=None, mesh=None, record=None,
+                        _no_predict=False) -> Array:
     """Host-driven bounce loop: the all-dead early exit happens on the host
     and the live wavefront is compacted + coherence-sorted between bounces
     (see _repack_jit).  On TPU the Pallas traversal runs as its own
@@ -1211,9 +1218,19 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
             mesh=mesh, interpret=interp)
 
-    def run_bounce(state, pixel_ids, depth, b):
-        """Traverse (packets) + shade for one bounce → (state, alive_dev)."""
+    def traverse_and_record(state, b, pixel_ids):
+        """Traversal for one bounce, appending (tri ids, pixel ids) to the
+        caller's `record` list when tri-id recording is on (the fwd+bwd
+        pre-pass: ids are scattered back to pixel order afterwards)."""
         tri_full = run_traverse(state, b)
+        if record is not None:
+            if tri_full is None:  # non-Pallas backends: XLA walk just for ids
+                tri_full = _tri_ids_jit(state, scene, config)
+            record.append((tri_full, pixel_ids))
+        return tri_full
+
+    def run_bounce(state, pixel_ids, depth, tri_full):
+        """Shade for one bounce → (state, alive_dev)."""
         if mesh is None:
             if tri_full is not None:
                 return _bounce_with_tri_jit(
@@ -1224,10 +1241,9 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             with_tri=tri_full is not None)
 
     def run_bounce_repack(state, pixel_ids, live_ids, radiance_full, depth,
-                          b, bucket):
-        """Traverse, then ONE fused shade+compaction dispatch (predicted
-        loop) → (state, pixel_ids, live_ids, radiance_full, bound, alive)."""
-        tri_full = run_traverse(state, b)
+                          tri_full, bucket):
+        """ONE fused shade+compaction dispatch (predicted loop) →
+        (state, pixel_ids, live_ids, radiance_full, bound, alive)."""
         with_tri = tri_full is not None
         if tri_full is None:  # static placeholder so specs stay uniform
             tri_full = jnp.zeros((state.origin.shape[0],), jnp.int32)
@@ -1269,19 +1285,20 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         bucket_log: list = []
         for depth in range(depth_n):
             pred = predicted[depth] if depth < depth_n - 1 else 0
+            tri_full = traverse_and_record(state, bound, pixel_ids)
             if depth < depth_n - 1 and pred > 0:
                 # one traversal dispatch + ONE fused shade+repack dispatch
                 est = int(pred * 1.125) + 256
                 bucket = _bucket_for(min(est, cur), cur, ladder)
                 (state, pixel_ids, live_ids, radiance_full, bound,
                  alive) = run_bounce_repack(
-                    state, pixel_ids, live_ids, radiance_full, depth, bound,
-                    bucket)
+                    state, pixel_ids, live_ids, radiance_full, depth,
+                    tri_full, bucket)
                 alive_log.append(alive)
                 bucket_log.append(bucket)
                 cur = bucket
             else:
-                state, alive = run_bounce(state, pixel_ids, depth, bound)
+                state, alive = run_bounce(state, pixel_ids, depth, tri_full)
                 alive_log.append(alive)
                 bucket_log.append(None)
             try:
@@ -1310,9 +1327,11 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         counts = [int(_np.max(a)) for a in jax.device_get(alive_log)]
         _SEG_PROFILE[prof_key] = counts + [0] * (depth_n - len(counts))
         if any(b is not None and c > b for c, b in zip(counts, bucket_log)):
+            if record is not None:
+                record.clear()  # discard the overflowed trace's recording
             return trace_radiance_host(scene, camera, config, key,
                                        orig_pixel_ids, stats=stats, mesh=mesh,
-                                       _no_predict=True)
+                                       record=record, _no_predict=True)
         return radiance
 
     # ---- synchronous loop: per-bounce live-count readback drives buckets
@@ -1323,7 +1342,8 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     for depth in range(depth_n):
         segments.append(count)
         sizes.append(cur)
-        state, alive = run_bounce(state, pixel_ids, depth, bound)
+        tri_full = traverse_and_record(state, bound, pixel_ids)
+        state, alive = run_bounce(state, pixel_ids, depth, tri_full)
         if mesh is None:
             count = count_max = int(alive)
         else:
@@ -1373,13 +1393,32 @@ def _tri_ids_jit(state: RayState, scene: SceneData, config: RenderConfig):
     return tri_idx
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _scatter_tri_ids_jit(tri_full, pids, inv_pos, p: int):
+    """Scatter one bounce's compacted tri ids back to caller-lane order.
+
+    pids carries GLOBAL pixel ids (padding lanes hold the out-of-range
+    _PAD_PIXEL_ID sentinel and are dropped); inv_pos maps global pixel id →
+    caller lane position.  Missing pixels (lanes compacted away after
+    dying) stay at -1 — their replay lanes are dead and never consume it.
+    """
+    safe = jnp.minimum(pids, inv_pos.shape[0] - 1)
+    pos = jnp.where(pids < inv_pos.shape[0], inv_pos[safe], p)
+    return jnp.full((p,), -1, jnp.int32).at[pos].set(tri_full, mode="drop")
+
+
 def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
                         config: RenderConfig, key, pixel_ids=None, *,
                         stats=None) -> Array:
-    """Forward-only pre-pass: trace the wavefront at FIXED lane order (no
-    repack — the differentiable replay consumes ids positionally) and record
-    the nearest-triangle id entering each bounce.  Returns (D, P) int32,
-    -1 where no triangle is hit (or the lane is already dead).
+    """Forward-only pre-pass: run the PRODUCTION host loop (compaction,
+    predicted buckets, Pallas traversal) with tri-id recording on, then
+    scatter each bounce's ids back to caller-lane order via the global
+    pixel ids the lanes carry.  Returns (D, P) int32, -1 where no triangle
+    is hit (or the lane is already dead/compacted away).
+
+    The differentiable replay consumes the ids positionally, and all RNG is
+    keyed on the global pixel id, so per-pixel trajectories are identical
+    however the pre-pass wavefront was compacted or sorted.
 
     Reference anchor: this plays the role of the traversal half of the
     megastep being differentiated (Kernel/path_tracer_kernel.cu:381-625).
@@ -1387,66 +1426,17 @@ def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
     p = int(pixel_ids.shape[0])
-    use_packets = scene.num_bvh_nodes > 1 and _use_packet_kernel(scene, config)
-    if use_packets:
-        from pathtracerwithcuda_tpu.ops import traversal_pallas as _tp
-
-        _chunk = _tp.CHUNK_PACKETS * _tp.PACKET
-        interp = _packet_interpret(config)
-        wide = _wide_ok(scene, config)
-        if wide is not None:
-            tables = _pack_wide_tables_jit(
-                jnp.asarray(wide.src), jnp.asarray(wide.meta), scene,
-                scene.leaf_size)
-        else:
-            tables = _pack_tables_jit(scene, scene.leaf_size)
-        p_state = ((p + _chunk - 1) // _chunk) * _chunk
-    else:
-        p_state = p
-
-    state = _raygen_jit(camera, config, key, pixel_ids)
-    pids = pixel_ids
-    if p_state != p:
-        state, pids, _, _ = _pad_state_jit(
-            state, pixel_ids, jnp.arange(p, dtype=jnp.int32), scene, p_state)
-
+    rec: list = []
+    trace_radiance_host(scene, camera, config, key, pixel_ids, stats=stats,
+                        record=rec)
+    inv_pos = jnp.zeros((config.pixel_count,), jnp.int32).at[pixel_ids].set(
+        jnp.arange(p, dtype=jnp.int32))
     depth_n = config.max_tracer_depth
-    tri_out = []
-    segments = []
-    count = p
-    for depth in range(depth_n):
-        segments.append(count)
-        if use_packets:
-            # no repack in this loop (fixed lane order), so the seed bound
-            # is a standalone dispatch per bounce here
-            b = _seed_bound_jit(state, scene)
-            if wide is not None:
-                tri_full = _traverse_wide_jit(
-                    state.origin, state.direction, b, *tables,
-                    num_wide=wide.num_wide, num_tris=scene.num_triangles,
-                    leaf_k=scene.leaf_size, interpret=interp)
-            else:
-                tri_full = _traverse_fixed_jit(
-                    state.origin, state.direction, b, *tables,
-                    num_nodes=scene.num_bvh_nodes,
-                    num_tris=scene.num_triangles, leaf_k=scene.leaf_size,
-                    interpret=interp)
-        else:
-            tri_full = _tri_ids_jit(state, scene, config)
-        tri_out.append(tri_full[:p])
-        state, alive = _bounce_with_tri_jit(
-            state, scene, config, key, depth, pids, tri_full)
-        count = int(alive)
-        if count == 0:
-            # later bounces see an all-dead wavefront; their ids are never
-            # consumed — fill with "no triangle"
-            tri_out.extend(
-                jnp.full((p,), -1, jnp.int32)
-                for _ in range(depth_n - depth - 1))
-            break
-    if stats is not None:
-        stats["segments"] = segments
-        stats["use_packets"] = use_packets
+    tri_out = [_scatter_tri_ids_jit(tri_full, pids, inv_pos, p)
+               for tri_full, pids in rec]
+    # depths past an early all-dead exit are never consumed
+    tri_out.extend(jnp.full((p,), -1, jnp.int32)
+                   for _ in range(depth_n - len(tri_out)))
     return jnp.stack(tri_out, axis=0)
 
 
