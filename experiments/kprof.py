@@ -38,6 +38,9 @@ def main(which="primary", mode="full", leaf=None, chains=None, dirbins=0):
                              spp_per_pass=1, loop_mode="host")
     if leaf:
         config = config.replace(bvh_leaf_node_triangle_num=int(leaf))
+    if os.environ.get("PT_BVH_BUCKETS"):
+        config = config.replace(
+            bvh_bucket_max_divide_internal_num=int(os.environ["PT_BVH_BUCKETS"]))
     chains = int(chains) if chains else tp.CHAINS
     dirbins = int(dirbins)
     scene = build_scene_data(flagship_scene(), config)
