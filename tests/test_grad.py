@@ -149,6 +149,27 @@ def test_recorded_tris_grad_matches_scan():
     assert np.allclose(np.asarray(g_fast), np.asarray(g_scan),
                        rtol=1e-4, atol=1e-7)
 
+    # same equivalence with Russian roulette on: the pre-pass (production
+    # host loop) and the replay must consume identical STAGE_RR streams
+    cfg_rr = config.replace(russian_roulette=True, rr_start_depth=1)
+    tri_rr = record_tri_ids_host(scene, cam, cfg_rr, key, pids)
+
+    def loss_fast_rr(d):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=d))
+        return jnp.mean(trace_radiance_scan_tris(sc, cam, cfg_rr, key, pids,
+                                                 tri_rr))
+
+    def loss_scan_rr(d):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=d))
+        return jnp.mean(trace_radiance(sc, cam, cfg_rr, key, pids,
+                                       differentiable=True))
+
+    v_f, g_f = jax.value_and_grad(loss_fast_rr)(scene.materials.diffuse)
+    v_s, g_s = jax.value_and_grad(loss_scan_rr)(scene.materials.diffuse)
+    assert np.isclose(float(v_f), float(v_s), rtol=1e-4)
+    assert np.allclose(np.asarray(g_f), np.asarray(g_s),
+                       rtol=1e-3, atol=1e-6)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_grad_matches_single():
