@@ -1107,8 +1107,16 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     is bit-identical to the single-device loop.
 
     stats: optional dict; gains 'segments' (live rays entering each bounce)
-    and 'wavefront' (per-chip dispatch size per bounce).
+    and 'wavefront' (per-chip dispatch size per bounce).  Passing stats
+    forces the synchronous loop (it IS the instrumentation).
+
+    record: optional list; each bounce appends its (nearest-triangle ids,
+    pixel ids) pair BEFORE compaction — the fwd+bwd pre-pass hook
+    (record_tri_ids_host scatters the ids back to pixel order).  Single
+    device only.
     """
+    if record is not None and mesh is not None:
+        raise NotImplementedError("tri-id recording is single-device")
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
     orig_pixel_ids = pixel_ids  # for the overflow re-run (pre-padding)
@@ -1272,6 +1280,8 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     predicted = None
     if not _no_predict and stats is None:
         predicted = _SEG_PROFILE.get(prof_key)
+    if len(_SEG_PROFILE) > 64:  # a handful of live (config, size) pairs
+        _SEG_PROFILE.clear()
 
     cur = p_state
     if predicted is not None and len(predicted) == depth_n:
