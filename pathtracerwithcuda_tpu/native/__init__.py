@@ -15,6 +15,7 @@ from pathtracerwithcuda_tpu.native.build import (
     native_obj_available,
     native_load_obj,
     native_build_sah,
+    native_load_image,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "native_obj_available",
     "native_load_obj",
     "native_build_sah",
+    "native_load_image",
 ]

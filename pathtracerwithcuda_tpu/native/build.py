@@ -27,7 +27,7 @@ log = logging.getLogger(__name__)
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libptc_native.so")
-_SOURCES = ["bvh_builder.cpp", "obj_loader.cpp"]
+_SOURCES = ["bvh_builder.cpp", "obj_loader.cpp", "image_decoder.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -87,6 +87,17 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.ptc_obj_fill.argtypes = [c.c_void_p, c.c_int32] + [c.c_void_p] * 3
     lib.ptc_obj_free.restype = None
     lib.ptc_obj_free.argtypes = [c.c_void_p]
+
+    lib.ptc_img_load.restype = c.c_void_p
+    lib.ptc_img_load.argtypes = [c.c_char_p]
+    lib.ptc_img_width.restype = c.c_int32
+    lib.ptc_img_width.argtypes = [c.c_void_p]
+    lib.ptc_img_height.restype = c.c_int32
+    lib.ptc_img_height.argtypes = [c.c_void_p]
+    lib.ptc_img_fill.restype = None
+    lib.ptc_img_fill.argtypes = [c.c_void_p, c.c_void_p]
+    lib.ptc_img_free.restype = None
+    lib.ptc_img_free.argtypes = [c.c_void_p]
 
 
 def native_available() -> bool:
@@ -177,3 +188,23 @@ def native_build_sah(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     bvh = FlatBVH(node_min=node_min, node_max=node_max, next_index=nxt,
                   tri_slots=slots)
     return bvh, perm
+
+
+def native_load_image(path: str):
+    """(H, W, 3) float32 RGB in [0, 1], row 0 = top — C++ BMP/TGA decoder
+    (image_decoder.cpp; the reference's FreeImage role).  None if the
+    library is unavailable or the file isn't a supported BMP/TGA."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.ptc_img_load(path.encode())
+    if not h:
+        return None
+    try:
+        w = lib.ptc_img_width(h)
+        ht = lib.ptc_img_height(h)
+        out = np.empty((ht, w, 3), np.float32)
+        lib.ptc_img_fill(h, out.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.ptc_img_free(h)
+    return out

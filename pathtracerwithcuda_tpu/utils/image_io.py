@@ -10,7 +10,22 @@ import numpy as np
 
 
 def load_image_rgb(path: str) -> Optional[np.ndarray]:
-    """Any-format → (H, W, 3) float32 in [0, 1]; row 0 = visual top."""
+    """Any-format → (H, W, 3) float32 in [0, 1]; row 0 = visual top.
+
+    BMP/TGA (the reference's cube-map and sponza texture formats) decode
+    through the native C++ decoder (native/image_decoder.cpp, the
+    FreeImage role of Others/image_loader.cpp); everything else through
+    PIL; a hand-rolled BMP decoder remains as the no-dependency fallback.
+    """
+    if path.lower().endswith((".bmp", ".tga")):
+        try:
+            from pathtracerwithcuda_tpu.native import native_load_image
+
+            img = native_load_image(path)
+            if img is not None:
+                return img
+        except Exception:  # toolchain-less install: fall through to PIL
+            pass
     try:
         from PIL import Image
     except ImportError:

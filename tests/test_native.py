@@ -107,3 +107,66 @@ def test_native_build_speed(rng_np):
     dt = time.perf_counter() - t0
     assert bvh.num_nodes > n / 4
     assert dt < 2.0  # interactive-rebuild class (Python takes ~10s here)
+
+
+def test_native_image_decoder_bmp_tga(tmp_path, rng_np):
+    """C++ BMP/TGA decoder (native/image_decoder.cpp — the FreeImage role of
+    Others/image_loader.cpp) must match PIL on round-tripped files, for
+    24-bit BMP and uncompressed/RLE/grayscale TGA."""
+    from PIL import Image
+
+    from pathtracerwithcuda_tpu.native import native_available, native_load_image
+    from pathtracerwithcuda_tpu.utils.image_io import load_image_rgb
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+    rgb = (rng_np.random((23, 37, 3)) * 255).astype(np.uint8)
+    gray = (rng_np.random((16, 20)) * 255).astype(np.uint8)
+    cases = []
+    for name, arr, mode in (("a.bmp", rgb, "RGB"), ("b.tga", rgb, "RGB"),
+                            ("c.tga", gray, "L")):
+        p = str(tmp_path / name)
+        Image.fromarray(arr, mode).save(p)
+        cases.append(p)
+    # RLE TGA
+    p_rle = str(tmp_path / "d.tga")
+    Image.fromarray(rgb, "RGB").save(p_rle, compression="tga_rle")
+    cases.append(p_rle)
+
+    for p in cases:
+        with Image.open(p) as im:
+            want = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        got = native_load_image(p)
+        assert got is not None, p
+        assert got.shape == want.shape, p
+        np.testing.assert_allclose(got, want, atol=1.5 / 255.0)
+        # the public loader routes .bmp/.tga through the native path
+        via_io = load_image_rgb(p)
+        np.testing.assert_allclose(via_io, want, atol=1.5 / 255.0)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/gpu_path_tracer/res/texture"),
+    reason="reference asset tree not mounted")
+def test_native_image_decoder_reference_assets():
+    """Every BMP cube-map face and TGA texture the reference ships decodes
+    byte-identically (within u8 rounding) to PIL."""
+    import glob
+
+    from PIL import Image
+
+    from pathtracerwithcuda_tpu.native import native_available, native_load_image
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    root = "/root/reference/gpu_path_tracer/res/texture"
+    paths = sorted(glob.glob(root + "/*/*.bmp"))[:6] + \
+        sorted(glob.glob(root + "/*/*.tga"))[:6]
+    assert paths
+    for p in paths:
+        with Image.open(p) as im:
+            want = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        got = native_load_image(p)
+        assert got is not None and got.shape == want.shape, p
+        np.testing.assert_allclose(got, want, atol=1.5 / 255.0)
