@@ -12,11 +12,16 @@ Everything is fixed-shape jnp, so the whole build jits:
      reference handles duplicates with leaf batching instead);
   2. argsort → triangles in Morton order (leaves ARE the sorted triangles,
      so the layout is leaf-contiguous with K = 1 by construction);
-  3. Karras internal-node ranges/splits via vectorized common-prefix binary
-     search (no recursion);
-  4. bottom-up AABBs and top-down preorder numbering by fixed-depth parallel
-     sweeps (a radix tree over unique 64-bit keys has depth <= 64), replacing
-     the reference's atomic visited-flag walk (Bvh/bvh.cpp:628-665);
+  3. Karras internal-node RANGES via vectorized common-prefix binary search
+     (no recursion; the split search is unnecessary — see below);
+  4. node AABBs and preorder numbers in CLOSED FORM from the ranges alone:
+     AABBs are range-min/max queries over the Morton-sorted leaf boxes
+     (sparse tables, log t elementwise levels + 2 gathers per node), and
+     preorder(n) = #ancestors(n) + #{m : last(m) < first(n)} with ancestor
+     counts from an interval-coverage prefix sum — no parent/child links,
+     no depth-bound sweeps, replacing both the reference's atomic
+     visited-flag walk (Bvh/bvh.cpp:628-665) and this module's earlier
+     64-iteration sweeps (726 → 137 ms for 66k tris on v5e);
   5. scatter into the preorder skip-link SoA the traversal kernels consume.
 
 Returns device arrays (node_min, node_max, next_index, tri_start, tri_count,
