@@ -89,14 +89,16 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
         roots.append(r)
         r = int(next_index[r])
 
-    # group >arity roots under intermediate virtual nodes.  A virtual slot is
-    # encoded as ("group", [slots]) — backed by no binary node; its box at
-    # pack time is the hull of its group's boxes, handled by src=-2 rows.
-    # (In practice scenes have <= arity meshes; keep the rare path simple by
-    # asserting.)
-    if len(roots) > arity:
-        raise NotImplementedError(
-            f"{len(roots)} mesh roots > {arity}; group meshes or raise arity")
+    # >arity roots: one level of grouping through virtual slots.  A virtual
+    # slot references another wide node instead of a binary node; its src is
+    # encoded -2 - child_wide_id and its box at pack time is the hull of the
+    # referenced row's slot boxes (pack_wide_tables fill pass).  One level
+    # covers arity^2 = 64 mesh roots; beyond that callers fall back to the
+    # binary skip-link kernel (render/wavefront._wide_ok catches this).
+    if len(roots) > arity * arity:
+        raise ValueError(
+            f"{len(roots)} mesh roots > {arity * arity}; wide collapse "
+            "supports one grouping level — use the binary kernel")
 
     src_rows: list[list[int]] = []
     meta_rows: list[np.ndarray] = []
@@ -109,14 +111,40 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
         work.append((wid, slots))
         return wid
 
-    if len(roots) == 1 and not is_leaf[roots[0]]:
-        root_slots = split_until([roots[0] + 1, int(next_index[roots[0] + 1])])
-    else:
-        root_slots = split_until(roots)
-    reserve(root_slots)
-
     depth_of = {0: 1}
     max_depth = 1
+    if len(roots) == 1 and not is_leaf[roots[0]]:
+        reserve(split_until([roots[0] + 1, int(next_index[roots[0] + 1])]))
+    elif len(roots) <= arity:
+        reserve(split_until(roots))
+    else:
+        # balanced groups of forest roots; each multi-root group becomes its
+        # own wide node referenced by a virtual slot of the root row
+        ngroups = -(-len(roots) // arity)
+        groups = [roots[i::ngroups] for i in range(ngroups)]
+        root_wid = len(src_rows)  # 0
+        src_rows.append([])  # filled below
+        meta_rows.append(np.zeros(arity, np.int32))
+        root_srcs: list[int] = []
+        for c, g in enumerate(groups):
+            if len(g) == 1 and is_leaf[g[0]]:
+                b = g[0]
+                meta_rows[root_wid][c] = -(int(tri_start[b]) * 64
+                                           + int(tri_count[b]))
+                root_srcs.append(b)
+                continue
+            if len(g) == 1:
+                b = g[0]
+                cid = reserve(split_until([b + 1, int(next_index[b + 1])]))
+                root_srcs.append(b)
+            else:
+                cid = reserve(split_until(list(g)))
+                root_srcs.append(-2 - cid)  # virtual: hull of row cid
+            meta_rows[root_wid][c] = cid + 1
+            depth_of[cid] = 2
+            max_depth = 2
+        src_rows[root_wid] = root_srcs
+
     while work:
         wid, slots = work.pop()
         meta = meta_rows[wid]
@@ -155,6 +183,10 @@ def validate_wide(wide: WideBVH, next_index, tri_start, tri_count) -> list:
             if m == 0:
                 if b != -1:
                     errors.append(f"slot ({w},{c}): empty meta but src {b}")
+                continue
+            if b <= -2:  # virtual slot src=-2-cid must match meta=cid+1
+                if m != -b - 1 or m <= 0:
+                    errors.append(f"slot ({w},{c}): virtual src {b} but meta {m}")
                 continue
             if b < 0:
                 errors.append(f"slot ({w},{c}): meta {m} but no src")

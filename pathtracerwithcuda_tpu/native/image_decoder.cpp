@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -52,9 +53,13 @@ Image* decode_bmp(const std::vector<uint8_t>& d) {
     uint16_t bpp = le16(&d[28]);
     uint32_t compression = le32(&d[30]);
     if (width <= 0 || height_raw == 0) return nullptr;
+    // INT32_MIN has no positive negation (signed-overflow UB below)
+    if (height_raw == std::numeric_limits<int32_t>::min()) return nullptr;
     if ((bpp != 24 && bpp != 32) || compression != 0) return nullptr;
     bool bottom_up = height_raw > 0;
     int height = bottom_up ? height_raw : -height_raw;
+    // plausibility cap keeps row_size*height from wrapping 64-bit below
+    if (width > (1 << 20) || height > (1 << 20)) return nullptr;
     int channels = bpp / 8;
     size_t row_size = (size_t(width) * channels + 3u) & ~3u;
     if (d.size() < pixel_offset + row_size * size_t(height)) return nullptr;
@@ -97,9 +102,21 @@ Image* decode_tga(const std::vector<uint8_t>& d) {
     size_t off = 18 + id_len;
     size_t total = size_t(width) * height;
 
+    // Validate claimed dimensions against the actual file size BEFORE
+    // allocating (a malformed 16-bit header can otherwise claim ~17 GB):
+    // non-RLE needs the full pixel payload present; RLE best-case packs
+    // `channels+1` bytes per 128 pixels, so the file bounds the output.
+    if (!rle) {
+        if (d.size() < off || d.size() - off < total * size_t(channels))
+            return nullptr;
+    } else {
+        if (d.size() < off) return nullptr;
+        size_t max_pixels = (d.size() - off) * 128u / (size_t(channels) + 1u);
+        if (total > max_pixels) return nullptr;
+    }
+
     std::vector<uint8_t> pixels(total * channels);
     if (!rle) {
-        if (d.size() < off + pixels.size()) return nullptr;
         std::memcpy(pixels.data(), d.data() + off, pixels.size());
     } else {  // RLE packets: 1 header byte + (1 or n) pixels
         size_t pi = 0, si = off;
@@ -166,15 +183,23 @@ bool has_suffix(const std::string& s, const char* suf) {
 extern "C" {
 
 void* ptc_img_load(const char* path) {
-    std::vector<uint8_t> data;
-    if (!read_file(path, data)) return nullptr;
-    std::string p(path);
-    if (has_suffix(p, ".bmp")) return decode_bmp(data);
-    if (has_suffix(p, ".tga")) return decode_tga(data);
-    // sniff: BMP magic, else try TGA
-    if (data.size() > 2 && data[0] == 'B' && data[1] == 'M')
-        return decode_bmp(data);
-    return decode_tga(data);
+    // No exception may cross the extern "C"/ctypes boundary (UB → terminate);
+    // any decode failure — including bad_alloc on a hostile header that
+    // slipped past the size checks — degrades to nullptr (Python falls back
+    // to PIL).
+    try {
+        std::vector<uint8_t> data;
+        if (!read_file(path, data)) return nullptr;
+        std::string p(path);
+        if (has_suffix(p, ".bmp")) return decode_bmp(data);
+        if (has_suffix(p, ".tga")) return decode_tga(data);
+        // sniff: BMP magic, else try TGA
+        if (data.size() > 2 && data[0] == 'B' && data[1] == 'M')
+            return decode_bmp(data);
+        return decode_tga(data);
+    } catch (...) {
+        return nullptr;
+    }
 }
 
 int32_t ptc_img_width(void* h) { return static_cast<Image*>(h)->width; }

@@ -407,10 +407,21 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     t_pad = _round_up(t + leaf_k, LANES)
 
     src = wide_src.reshape(w8)
-    empty = src < 0
+    empty = src == -1
+    virtual = src <= -2  # grouped-roots slot: box = hull of wide row -2-src
+    vref = jnp.where(virtual, -2 - src, 0)
     safe = jnp.maximum(src, 0)
-    cmin = jnp.where(empty[:, None], _BIG, bvh_min[safe])   # (w8, 3)
-    cmax = jnp.where(empty[:, None], -_BIG, bvh_max[safe])
+    boxless = empty | virtual
+    cmin = jnp.where(boxless[:, None], _BIG, bvh_min[safe])   # (w8, 3)
+    cmax = jnp.where(boxless[:, None], -_BIG, bvh_max[safe])
+    # fill virtual slots from the referenced rows' hulls (group rows hold
+    # only real slots — collapse_wide allows one grouping level — so one
+    # fill pass suffices; the sort below then recomputes hulls correctly)
+    vm3 = boxless.reshape(w, ARITY, 1)
+    ghl = jnp.min(jnp.where(vm3, _BIG, cmin.reshape(w, ARITY, 3)), axis=1)
+    ghh = jnp.max(jnp.where(vm3, -_BIG, cmax.reshape(w, ARITY, 3)), axis=1)
+    cmin = jnp.where(virtual[:, None], ghl[vref], cmin)
+    cmax = jnp.where(virtual[:, None], ghh[vref], cmax)
 
     # ---- front-to-back slot sort (per node, along dominant hull axis)
     e3 = empty.reshape(w, ARITY, 1)
@@ -459,7 +470,8 @@ def vmem_table_bytes(num_wide: int, num_tris: int, leaf_k: int) -> int:
 
 def smem_meta_bytes(num_wide: int) -> int:
     return (num_wide * (ARITY + 1) * 4  # slot meta + per-node axis
-            + WIDE_CHAINS * ROWS * (STACK_CAP + SEG_CAP + ARITY + 1) * 4)
+            # stack + drain list + pl.when mailbox scratch, per chain row
+            + WIDE_CHAINS * ROWS * (STACK_CAP + SEG_CAP + ARITY + 1 + 2) * 4)
 
 
 def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,

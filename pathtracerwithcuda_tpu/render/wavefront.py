@@ -663,8 +663,11 @@ def _wide_ok(scene: SceneData, config: RenderConfig):
         return None
     from pathtracerwithcuda_tpu.ops import traversal_wide as _tw
 
-    wide = _tw.wide_structure(scene.bvh_next, scene.bvh_tri_start,
-                              scene.bvh_tri_count)
+    try:
+        wide = _tw.wide_structure(scene.bvh_next, scene.bvh_tri_start,
+                                  scene.bvh_tri_count)
+    except ValueError:  # e.g. > arity^2 mesh roots — binary-kernel fallback
+        return None
     ok = (
         wide.max_stack <= _tw.STACK_CAP
         and _tw.vmem_table_bytes(wide.num_wide, scene.num_triangles,
