@@ -24,7 +24,7 @@ from pathtracerwithcuda_tpu.parallel.shard import distributed_trace
 
 def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig,
                     mesh: Optional[Mesh] = None, optimizer=None,
-                    learning_rate: float = 5e-2):
+                    learning_rate: float = 5e-2, method: str = "scan"):
     """Returns (step_fn, opt_state0).
 
     step_fn(params: MaterialTable, opt_state, target (P,3), key, pass_index)
@@ -33,8 +33,23 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
     With a mesh, the forward/backward shard pixels over RAY_AXIS; material
     gradients are all-reduced by the shard_map transpose.  Without a mesh it
     is the plain single-device step.
+
+    method:
+      "scan"     — self-contained differentiable lax.scan; the BVH walk
+                   re-runs inside the differentiated program (XLA gather
+                   walk).  Mesh may include a SAMPLE_AXIS.
+      "recorded" — PRODUCTION recipe: a forward-only pre-pass records
+                   nearest-triangle ids through the fast Pallas host loop
+                   (render.wavefront.record_tri_ids_host, per chip when
+                   mesh is set), then value_and_grad runs the checkpointed
+                   scan replay with tri_override — reverse mode never
+                   touches a BVH walk.  Gradients are identical to "scan"
+                   by construction (tests/test_grad.py,
+                   tests/test_sharding.py).  Mesh must be ray-only.
     """
     optimizer = optimizer or optax.adam(learning_rate)
+    if method not in ("scan", "recorded"):
+        raise ValueError(f"unknown method {method!r}")
 
     # the MaterialTable carries int32 texture-id leaves; only the float
     # physical parameters are trainable
@@ -49,9 +64,22 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
     def _merge(table: MaterialTable, float_params: dict) -> MaterialTable:
         return table.replace(**float_params)
 
-    def loss_fn(float_params, target, key):
+    def loss_fn(float_params, target, key, tri_ids=None):
         sc = scene.replace(materials=_merge(scene.materials, float_params))
-        if mesh is not None:
+        if method == "recorded":
+            from pathtracerwithcuda_tpu.render.wavefront import (
+                trace_radiance_scan_tris,
+                trace_radiance_scan_tris_sharded,
+            )
+
+            pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+            if mesh is not None:
+                img = trace_radiance_scan_tris_sharded(
+                    sc, camera, config, key, pixel_ids, tri_ids, mesh)
+            else:
+                img = trace_radiance_scan_tris(sc, camera, config, key,
+                                               pixel_ids, tri_ids)
+        elif mesh is not None:
             img = distributed_trace(sc, camera, config, key, mesh,
                                     differentiable=True)
         else:
@@ -67,10 +95,11 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
         "reduced_scattering": (0.0, None),
     }
 
-    @jax.jit
-    def _step(float_params, opt_state, target, key, pass_index):
+    @functools.partial(jax.jit, static_argnames=())
+    def _step(float_params, opt_state, target, key, pass_index, tri_ids):
         k = rng.pass_key(key, pass_index)
-        loss, grads = jax.value_and_grad(loss_fn)(float_params, target, k)
+        loss, grads = jax.value_and_grad(loss_fn)(float_params, target, k,
+                                                  tri_ids)
         updates, opt_state = optimizer.update(grads, opt_state, float_params)
         float_params = optax.apply_updates(float_params, updates)
         # keep physical quantities in their valid ranges
@@ -80,8 +109,20 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
         return float_params, opt_state, loss
 
     def step_fn(params: MaterialTable, opt_state, target, key, pass_index):
+        tri_ids = None
+        if method == "recorded":
+            from pathtracerwithcuda_tpu.render.wavefront import (
+                record_tri_ids_host,
+            )
+
+            # the pre-pass advances the same trajectory as the replay (same
+            # RNG keys, current materials), so recording must use the params
+            # being differentiated, not the build-time scene materials
+            sc = scene.replace(materials=params)
+            tri_ids = record_tri_ids_host(
+                sc, camera, config, rng.pass_key(key, pass_index), mesh=mesh)
         float_params, opt_state, loss = _step(
-            _split(params), opt_state, target, key, pass_index
+            _split(params), opt_state, target, key, pass_index, tri_ids
         )
         return _merge(params, float_params), opt_state, loss
 

@@ -1115,11 +1115,10 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
 
     record: optional list; each bounce appends its (nearest-triangle ids,
     pixel ids) pair BEFORE compaction — the fwd+bwd pre-pass hook
-    (record_tri_ids_host scatters the ids back to pixel order).  Single
-    device only.
+    (record_tri_ids_host scatters the ids back to pixel order).  Works
+    sharded too: compaction is chip-local and lanes never migrate chips, so
+    each chip's recorded (ids, pixel ids) cover exactly its own pixel slice.
     """
-    if record is not None and mesh is not None:
-        raise NotImplementedError("tri-id recording is single-device")
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
     orig_pixel_ids = pixel_ids  # for the overflow re-run (pre-padding)
@@ -1236,7 +1235,10 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         tri_full = run_traverse(state, b)
         if record is not None:
             if tri_full is None:  # non-Pallas backends: XLA walk just for ids
-                tri_full = _tri_ids_jit(state, scene, config)
+                if mesh is None:
+                    tri_full = _tri_ids_jit(state, scene, config)
+                else:
+                    tri_full = _tri_ids_shard(state, scene, config, mesh)
             record.append((tri_full, pixel_ids))
         return tri_full
 
@@ -1406,6 +1408,16 @@ def _tri_ids_jit(state: RayState, scene: SceneData, config: RenderConfig):
     return tri_idx
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _tri_ids_shard(state: RayState, scene: SceneData, config: RenderConfig,
+                   mesh):
+    fn = jax.shard_map(
+        lambda s, sc: _tri_ids_jit(s, sc, config), mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS()), out_specs=_PS(RAY_AXIS),
+        check_vma=False)
+    return fn(state, scene)
+
+
 @functools.partial(jax.jit, static_argnames=("p",))
 def _scatter_tri_ids_jit(tri_full, pids, inv_pos, p: int):
     """Scatter one bounce's compacted tri ids back to caller-lane order.
@@ -1420,9 +1432,29 @@ def _scatter_tri_ids_jit(tri_full, pids, inv_pos, p: int):
     return jnp.full((p,), -1, jnp.int32).at[pos].set(tri_full, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("p_local", "mesh"))
+def _scatter_tri_ids_shard(tri_full, pids, inv_pos, p_local: int, mesh):
+    """Sharded scatter: lanes never migrate chips, so every live lane's
+    global pixel id on chip k maps to a caller-lane position inside chip k's
+    own contiguous band [k*p_local, (k+1)*p_local) — the scatter is
+    chip-local with the band origin subtracted."""
+    def body(tri, pids_, inv):
+        base = jax.lax.axis_index(RAY_AXIS) * p_local
+        safe = jnp.minimum(pids_, inv.shape[0] - 1)
+        pos = jnp.where(pids_ < inv.shape[0], inv[safe] - base, p_local)
+        return jnp.full((p_local,), -1, jnp.int32).at[pos].set(
+            tri, mode="drop")
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(RAY_AXIS), _PS()),
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(tri_full, pids, inv_pos)
+
+
 def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
                         config: RenderConfig, key, pixel_ids=None, *,
-                        stats=None) -> Array:
+                        stats=None, mesh=None) -> Array:
     """Forward-only pre-pass: run the PRODUCTION host loop (compaction,
     predicted buckets, Pallas traversal) with tri-id recording on, then
     scatter each bounce's ids back to caller-lane order via the global
@@ -1441,16 +1473,42 @@ def record_tri_ids_host(scene: SceneData, camera: RenderCamera,
     p = int(pixel_ids.shape[0])
     rec: list = []
     trace_radiance_host(scene, camera, config, key, pixel_ids, stats=stats,
-                        record=rec)
+                        record=rec, mesh=mesh)
     inv_pos = jnp.zeros((config.pixel_count,), jnp.int32).at[pixel_ids].set(
         jnp.arange(p, dtype=jnp.int32))
     depth_n = config.max_tracer_depth
-    tri_out = [_scatter_tri_ids_jit(tri_full, pids, inv_pos, p)
-               for tri_full, pids in rec]
+    if mesh is None:
+        tri_out = [_scatter_tri_ids_jit(tri_full, pids, inv_pos, p)
+                   for tri_full, pids in rec]
+    else:
+        p_local = p // mesh.shape[RAY_AXIS]
+        tri_out = [_scatter_tri_ids_shard(tri_full, pids, inv_pos, p_local,
+                                          mesh)
+                   for tri_full, pids in rec]
     # depths past an early all-dead exit are never consumed
     tri_out.extend(jnp.full((p,), -1, jnp.int32)
                    for _ in range(depth_n - len(tri_out)))
     return jnp.stack(tri_out, axis=0)
+
+
+def trace_radiance_scan_tris_sharded(scene: SceneData, camera: RenderCamera,
+                                     config: RenderConfig, key, pixel_ids,
+                                     tri_ids: Array, mesh) -> Array:
+    """Sharded differentiable replay: trace_radiance_scan_tris per chip under
+    shard_map (pixels + recorded ids sharded over RAY_AXIS, scene replicated).
+    Differentiating through this inserts the psum gradient all-reduce for the
+    replicated material/texture/env leaves via the shard_map transpose —
+    BASELINE config 5's production fwd+bwd recipe on a mesh."""
+    def body(sc, cam, pids, tris):
+        return trace_radiance_scan_tris(sc, cam, config, key, pids, tris)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _PS(), scene),
+                  jax.tree.map(lambda _: _PS(), camera),
+                  _PS(RAY_AXIS), _PS(None, RAY_AXIS)),
+        out_specs=_PS(RAY_AXIS), check_vma=False)
+    return fn(scene, camera, pixel_ids, tri_ids)
 
 
 def trace_radiance_scan_tris(scene: SceneData, camera: RenderCamera,

@@ -224,3 +224,75 @@ def test_host_loop_sharded_mesh_scene_render_pass():
     sharded = np.asarray(distributed_render_pass_host(
         scene, cam, config, accum2, 0, jax.random.PRNGKey(0), mesh))
     assert np.array_equal(single, sharded)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_recorded_fwd_bwd_sharded_matches_single_device(monkeypatch):
+    """BASELINE config-5 production recipe on a mesh (VERDICT r4 next #4):
+    per-chip tri-id recording through the Pallas host loop, then the
+    checkpointed scan replay under shard_map.  The sharded gradients must
+    equal the single-device recorded gradients (and the recorded tri ids
+    must scatter identically)."""
+    import jax.numpy as jnp
+
+    from pathtracerwithcuda_tpu.ops import traversal_pallas as tp
+    from pathtracerwithcuda_tpu.render.wavefront import (
+        record_tri_ids_host,
+        trace_radiance_scan_tris,
+        trace_radiance_scan_tris_sharded,
+    )
+
+    monkeypatch.setattr(tp, "CHUNK_PACKETS", tp.CHAINS)
+    scene, cam, config = _blob_scene(seed=9, n=120, width=16, height=16,
+                                     pallas_mode="interpret")
+    key = rng.pass_key(jax.random.PRNGKey(0), 0)
+    pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
+
+    tri_single = np.asarray(record_tri_ids_host(scene, cam, config, key))
+    mesh = make_render_mesh(8)
+    tri_sharded = np.asarray(record_tri_ids_host(scene, cam, config, key,
+                                                 mesh=mesh))
+    assert np.array_equal(tri_single, tri_sharded)
+
+    target = jnp.zeros((config.pixel_count, 3), jnp.float32)
+
+    def loss_single(diffuse):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=diffuse))
+        r = trace_radiance_scan_tris(sc, cam, config, key, pixel_ids,
+                                     jnp.asarray(tri_single))
+        return jnp.mean(jnp.square(r - target))
+
+    def loss_sharded(diffuse):
+        sc = scene.replace(materials=scene.materials.replace(diffuse=diffuse))
+        r = trace_radiance_scan_tris_sharded(sc, cam, config, key, pixel_ids,
+                                             jnp.asarray(tri_sharded), mesh)
+        return jnp.mean(jnp.square(r - target))
+
+    g1 = np.asarray(jax.grad(loss_single)(scene.materials.diffuse))
+    g2 = np.asarray(jax.grad(loss_sharded)(scene.materials.diffuse))
+    assert np.isfinite(g1).all() and np.abs(g1).sum() > 0
+    np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_make_train_step_recorded_sharded():
+    """make_train_step(method='recorded', mesh=...) runs one full training
+    step and matches the single-device recorded step's loss exactly."""
+    import jax.numpy as jnp
+
+    from pathtracerwithcuda_tpu.diff.inverse import make_train_step
+
+    scene, cam, config = _blob_scene(seed=11, n=96, width=16, height=8)
+    target = jnp.zeros((config.pixel_count, 3), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    step1, opt1 = make_train_step(scene, cam, config, method="recorded")
+    p1, _, loss1 = step1(scene.materials, opt1, target, key, 0)
+
+    mesh = make_render_mesh(8)
+    step8, opt8 = make_train_step(scene, cam, config, mesh, method="recorded")
+    p8, _, loss8 = step8(scene.materials, opt8, target, key, 0)
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(p8.diffuse), np.asarray(p1.diffuse),
+                               rtol=1e-5, atol=1e-6)
