@@ -48,7 +48,24 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=".")
     ap.add_argument("--checkpoint", default=None, help="save/resume .npz path")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() before any "
+                         "JAX use (auto-detected pod env, or set "
+                         "JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import os as _os
+
+        from pathtracerwithcuda_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator=_os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=(int(_os.environ["JAX_NUM_PROCESSES"])
+                           if "JAX_NUM_PROCESSES" in _os.environ else None),
+            process_id=(int(_os.environ["JAX_PROCESS_ID"])
+                        if "JAX_PROCESS_ID" in _os.environ else None),
+        )
 
     from pathtracerwithcuda_tpu.config import RenderConfig
     from pathtracerwithcuda_tpu.render.session import RenderSession

@@ -98,7 +98,7 @@ def main(width=1920, height=1080, spp=1):
                 state, pixel_ids, live_ids, b = wf._pad_state_jit(
                     state, pixel_ids, live_ids, scene, p_state)
             else:
-                b = wf._seed_bound_jit(state, scene)
+                b = wf._seed_bound_jit(state, scene, config, key, 0, pixel_ids, False)
             if fenced:
                 fence(b)
                 record["pad"] += time.perf_counter() - t0

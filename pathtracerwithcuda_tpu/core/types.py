@@ -177,6 +177,12 @@ class SceneData:
     # texture?  When False the integrator skips the second bilinear
     # sample_atlas pass entirely (4 gathers per lane per bounce).
     has_specular_tex: bool = flax.struct.field(pytree_node=False, default=True)
+    # static flag: can ANY lane ever carry a scattering medium (a material
+    # with reduced_scattering.x > 0)?  Gates the free-flight traversal-bound
+    # draw in the host loop's seed computation.  Staleness after a live
+    # material edit only loses the optimization, never correctness (the
+    # per-lane rs_x test is what decides the actual cap).
+    has_scatter_media: bool = flax.struct.field(pytree_node=False, default=True)
 
     @property
     def num_spheres(self) -> int:

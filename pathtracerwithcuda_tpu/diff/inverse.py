@@ -22,13 +22,42 @@ from pathtracerwithcuda_tpu.ops import rng
 from pathtracerwithcuda_tpu.parallel.shard import distributed_trace
 
 
+def init_params(scene: SceneData, trainable=("materials",)):
+    """Trainable-parameter pytree for make_train_step.
+
+    trainable=("materials",): the MaterialTable itself (back-compatible).
+    Adding "texture" and/or "env" returns a dict
+    {"materials": MaterialTable, "texture_data": (N,3), "env_faces": ...} —
+    the north star's "material, texture, and emitter parameters" (emission
+    is a material field; the environment faces are the scene's other
+    emitter).
+    """
+    trainable = tuple(trainable)
+    if trainable == ("materials",):
+        return scene.materials
+    p = {}
+    if "materials" in trainable:
+        p["materials"] = scene.materials
+    if "texture" in trainable:
+        p["texture_data"] = scene.textures.data
+    if "env" in trainable:
+        p["env_faces"] = scene.env_faces
+    return p
+
+
 def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig,
                     mesh: Optional[Mesh] = None, optimizer=None,
-                    learning_rate: float = 5e-2, method: str = "scan"):
+                    learning_rate: float = 5e-2, method: str = "scan",
+                    trainable=("materials",)):
     """Returns (step_fn, opt_state0).
 
-    step_fn(params: MaterialTable, opt_state, target (P,3), key, pass_index)
+    step_fn(params, opt_state, target (P,3), key, pass_index)
       -> (params, opt_state, loss)
+
+    `params` comes from init_params(scene, trainable): a MaterialTable for
+    the default materials-only case, or a dict additionally carrying the
+    texture atlas texels ("texture") and environment faces ("env") as
+    trainable leaves.
 
     With a mesh, the forward/backward shard pixels over RAY_AXIS; material
     gradients are all-reduced by the shard_map transpose.  Without a mesh it
@@ -50,6 +79,8 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
     optimizer = optimizer or optax.adam(learning_rate)
     if method not in ("scan", "recorded"):
         raise ValueError(f"unknown method {method!r}")
+    trainable = tuple(trainable)
+    as_table = trainable == ("materials",)
 
     # the MaterialTable carries int32 texture-id leaves; only the float
     # physical parameters are trainable
@@ -58,14 +89,42 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
         "refraction_index", "extinction", "absorption", "reduced_scattering",
     )
 
-    def _split(table: MaterialTable):
-        return {f: getattr(table, f) for f in FLOAT_FIELDS}
+    def _split(params):
+        fp = {}
+        mat = params if as_table else params.get("materials")
+        if mat is not None:
+            fp["materials"] = {f: getattr(mat, f) for f in FLOAT_FIELDS}
+        if not as_table:
+            for k in ("texture_data", "env_faces"):
+                if k in params:
+                    fp[k] = params[k]
+        return fp
 
-    def _merge(table: MaterialTable, float_params: dict) -> MaterialTable:
-        return table.replace(**float_params)
+    def _scene_with(fp) -> SceneData:
+        sc = scene
+        if "materials" in fp:
+            sc = sc.replace(
+                materials=sc.materials.replace(**fp["materials"]))
+        if "texture_data" in fp:
+            sc = sc.replace(textures=sc.textures.replace(
+                data=fp["texture_data"]))
+        if "env_faces" in fp:
+            sc = sc.replace(env_faces=fp["env_faces"])
+        return sc
+
+    def _merge_out(params, fp):
+        if as_table:
+            return params.replace(**fp["materials"])
+        out = dict(params)
+        if "materials" in fp:
+            out["materials"] = params["materials"].replace(**fp["materials"])
+        for k in ("texture_data", "env_faces"):
+            if k in fp:
+                out[k] = fp[k]
+        return out
 
     def loss_fn(float_params, target, key, tri_ids=None):
-        sc = scene.replace(materials=_merge(scene.materials, float_params))
+        sc = _scene_with(float_params)
         if method == "recorded":
             from pathtracerwithcuda_tpu.render.wavefront import (
                 trace_radiance_scan_tris,
@@ -103,30 +162,39 @@ def make_train_step(scene: SceneData, camera: RenderCamera, config: RenderConfig
         updates, opt_state = optimizer.update(grads, opt_state, float_params)
         float_params = optax.apply_updates(float_params, updates)
         # keep physical quantities in their valid ranges
-        float_params = {
-            f: jnp.clip(v, *_CLIPS[f]) for f, v in float_params.items()
-        }
+        if "materials" in float_params:
+            float_params["materials"] = {
+                f: jnp.clip(v, *_CLIPS[f])
+                for f, v in float_params["materials"].items()
+            }
+        if "texture_data" in float_params:  # LDR texel range, as loaded
+            float_params["texture_data"] = jnp.clip(
+                float_params["texture_data"], 0.0, 1.0)
+        if "env_faces" in float_params:  # emitters: nonnegative radiance
+            float_params["env_faces"] = jnp.maximum(
+                float_params["env_faces"], 0.0)
         return float_params, opt_state, loss
 
-    def step_fn(params: MaterialTable, opt_state, target, key, pass_index):
+    def step_fn(params, opt_state, target, key, pass_index):
         tri_ids = None
+        fp = _split(params)
         if method == "recorded":
             from pathtracerwithcuda_tpu.render.wavefront import (
                 record_tri_ids_host,
             )
 
             # the pre-pass advances the same trajectory as the replay (same
-            # RNG keys, current materials), so recording must use the params
-            # being differentiated, not the build-time scene materials
-            sc = scene.replace(materials=params)
+            # RNG keys, current params), so recording must use the params
+            # being differentiated, not the build-time scene state
+            sc = _scene_with(fp)
             tri_ids = record_tri_ids_host(
                 sc, camera, config, rng.pass_key(key, pass_index), mesh=mesh)
         float_params, opt_state, loss = _step(
-            _split(params), opt_state, target, key, pass_index, tri_ids
+            fp, opt_state, target, key, pass_index, tri_ids
         )
-        return _merge(params, float_params), opt_state, loss
+        return _merge_out(params, float_params), opt_state, loss
 
-    return step_fn, optimizer.init(_split(scene.materials))
+    return step_fn, optimizer.init(_split(init_params(scene, trainable)))
 
 
 class InverseRenderer:

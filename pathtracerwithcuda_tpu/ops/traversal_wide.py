@@ -49,8 +49,25 @@ from pathtracerwithcuda_tpu.ops.traversal_pallas import (
     _t8,
 )
 
+import os as _os
+
 ARITY = 8
 WIDE_CHAINS = 8          # chains per kernel instance (sequential fori)
+# experiment knob (kprof): how phase 1 consumes the pending hit bits —
+# "sparse" (production: clz-driven set-bit iteration — SMEM stores/meta
+# reads only for actual hits), "when" (dense 8-slot loop gated by pl.when),
+# "always" (dense, no branch).  All exact.
+_SLOT_MODE = _os.environ.get("PT_WIDE_SLOT", "sparse")
+# nodes popped per row per walk iteration (>1 trades visit order for fewer
+# iterations; measured a net loss on v5e — keep 1)
+_NPOP = int(_os.environ.get("PT_WIDE_NPOP", "1"))
+# walk-body steps per while-loop iteration (halves loop back-edges at 2)
+_UNROLL = int(_os.environ.get("PT_WIDE_UNROLL", "1"))
+# pending-queue depth: how many iterations after issue a slab's hit bits
+# are consumed.  2 was meant to hide the slab→sync latency behind a full
+# iteration of scalar work, but measured slightly WORSE than 1 on v5e
+# (extra idle pops + larger carry beat the latency saved) — keep 1.
+_PDEPTH = int(_os.environ.get("PT_WIDE_PDEPTH", "1"))
 STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
 # Drain-segment length — deliberately SMALLER than the binary kernel's 64:
 # with ordered descent the value of a drain is the best_t tightening it
@@ -60,6 +77,13 @@ STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
 # both slightly worse.
 SEG_CAP = 16
 _BIG = jnp.float32(1e30)
+
+
+def _list_cap() -> int:
+    """Per-row drain-list capacity: a row at curs == SEG_CAP-1 can still
+    have _PDEPTH in-flight pops of _NPOP nodes each appending up to ARITY
+    leaves before the curs >= SEG_CAP gate blocks further pops."""
+    return SEG_CAP + _PDEPTH * _NPOP * ARITY + 1
 
 
 def _row_bcast(tile, r: int):
@@ -99,10 +123,9 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
       direction sign on that axis is negative iterates slots reversed —
       the nearest child is always pushed LAST and therefore popped first.
     nbox_ref (WT, 8, 128) f32: wide node w's child c box field q at
-      [w//16, q, (w%16)*8 + c].  Empty slots carry a swapped
-      (min=+1e30, max=-1e30) box which _slab8's per-axis min/max reordering
-      actually PASSES for every ray — emptiness is enforced by the meta==0
-      gate on push/leaf-append, not by the box itself.
+      [w//16, q, (w%16)*8 + c].  Empty slots carry NaN boxes, which can
+      never pass the slab test — so hit bits contain only real children
+      and the sparse slot loop's trip count is the true hit count.
     stack_ref (SMEM (chains, ROWS, STACK_CAP)), list_ref (SMEM
       (chains, ROWS, SEG_CAP+ARITY+1)): per-row walk stack / drain list.
     """
@@ -144,35 +167,184 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             return alive
 
         def outer_body(c):
-            # ---- walk segment
+            # ---- walk segment, SOFTWARE-PIPELINED (round-5 step change).
+            #
+            # The round-4 loop consumed each slab's vector→scalar sync in
+            # the same iteration that issued it: slab → bits → slot loop →
+            # next pop → next slab, a serial chain that measured ~4 us per
+            # 8-row iteration against ~0.4 us of actual vector work
+            # (experiments/kwalk_micro.py: the sync→predicated-scalar
+            # dependency stalls both units).  The loop now carries each
+            # iteration's hit bits as PENDING state and processes them one
+            # iteration later: the scalar slot loops for iteration k run
+            # while the VPU computes iteration k+1's slab tests, so the
+            # critical path is max(scalar, vector) instead of their sum
+            # plus two pipeline drains.  The per-row pop sequence — and
+            # therefore every traversal result — is bit-identical to the
+            # unpipelined loop; only the schedule changes.
+            #
+            # Each iteration retires _NPOP nodes per row (8*_NPOP child
+            # boxes): the serialization floor is per-iteration, so batching
+            # pops amortizes it.  Popping 2-at-a-time permutes the visit
+            # order slightly (the second pop runs before the first's
+            # children) but closest-hit results are order-independent.
+            #
+            # Carry: sps[8], curs[8], pending bits32[NSYNC], pending
+            # nodes[8*_NPOP], pending valid[8*_NPOP] (+ pops[8], stales[8]
+            # when walk_only).
+            NP = _NPOP
+            NW = ROWS * NP
+            D = max(_PDEPTH, 1)
+            if NP == 1:  # 2 rows x 8 child bits per sync
+                sync_of = {(r, 0): (r // 2, 8 * (r % 2)) for r in range(ROWS)}
+                NSYNC = 4
+            else:        # one row per sync, 8 bits per popped node
+                sync_of = {(r, j): (r, 8 * j)
+                           for r in range(ROWS) for j in range(NP)}
+                NSYNC = ROWS
+            blk = NSYNC + 2 * NW  # one pending block: pb + pn + pv
+            P0, C0 = 0, ROWS
+            B0 = 2 * ROWS
+            W0 = B0 + D * blk
+
+            def pv_slice(cc, q):
+                base = B0 + q * blk + NSYNC + NW
+                return cc[base:base + NW]
+
             def wcond(cc):
-                sps, curs = cc[:ROWS], cc[ROWS:]
-                alive = (sps[0] > 0) & (curs[0] < SEG_CAP)
-                for r in range(1, ROWS):
+                sps, curs = cc[P0:C0], cc[C0:B0]
+                alive = None
+                for q in range(D):
+                    for v in pv_slice(cc, q):
+                        alive = (v > 0) if alive is None else alive | (v > 0)
+                for r in range(ROWS):
                     alive = alive | ((sps[r] > 0) & (curs[r] < SEG_CAP))
                 return alive
 
             def wbody(cc):
-                sps = list(cc[:ROWS])
-                curs = list(cc[ROWS:])
-                bt_tile = bt_ref[0]
-                bits32 = []
+                sps = list(cc[P0:C0])
+                curs = list(cc[C0:B0])
+                # consume the OLDEST pending block (q = D-1); the blocks
+                # issued in the last D-1 iterations ride along untouched
+                base = B0 + (D - 1) * blk
+                pb = list(cc[base:base + NSYNC])
+                pn = list(cc[base + NSYNC:base + NSYNC + NW])
+                pv = list(cc[base + NSYNC + NW:base + blk])
+                # walk_only diagnostics: pops / stale-pops per row ride the
+                # carry (consumed by experiments/kwide_stats.py)
+                pops = list(cc[W0:W0 + ROWS]) if walk_only else None
+                stales = list(cc[W0 + ROWS:W0 + 2 * ROWS]) if walk_only else None
+
+                # ---- phase 1 (scalar): process LAST iteration's hit bits.
+                # j descending: the j=0 node was the stack top (nearest with
+                # ordered descent), so its children are pushed LAST and
+                # popped first.
+                for r in range(ROWS):
+                    for j in range(NP - 1, -1, -1):
+                        k = r * NP + j
+                        si, shift = sync_of[(r, j)]
+                        bits_rj = jnp.where(
+                            pv[k] > 0,
+                            jax.lax.shift_right_logical(pb[si], shift) & 0xFF,
+                            0)
+                        if walk_only:
+                            stales[r] = stales[r] + jnp.where(
+                                (pv[k] > 0) & (bits_rj == 0), 1, 0)
+                        # ordered descent: slots are presorted front-to-back
+                        # along axis_ref[w]; negative-majority rows walk
+                        # them reversed.  Iterating far→near means the
+                        # NEAREST child is pushed last → popped first, and
+                        # near leaves land at the front of the drain list.
+                        w = pn[k]
+                        ax = axis_ref[w]
+                        sgn = jnp.where(
+                            ax == 0, sgn_bits[0],
+                            jnp.where(ax == 1, sgn_bits[1], sgn_bits[2]))
+                        neg = (jax.lax.shift_right_logical(
+                            sgn, jnp.int32(r)) & 1) > 0
+                        if _SLOT_MODE == "sparse":
+                            # set-bit iteration: SMEM stores and meta reads
+                            # only for actual hits (empty slots never hit —
+                            # their boxes are NaN, pack_wide_tables), and
+                            # the loop self-gates on bits == 0 with no
+                            # pl.when/mailbox round trip
+                            def scond(cc2):
+                                return cc2[0] != 0
+
+                            def sbody(cc2, w=w, neg=neg, r=r):
+                                bits, s, cur = cc2
+                                k_hi = 31 - jax.lax.clz(bits)
+                                k_lo = 31 - jax.lax.clz(bits & (-bits))
+                                cslot = jnp.where(neg, k_lo, k_hi)
+                                m = meta_ref[w * ARITY + cslot]
+                                stack_ref[i, r, s] = m - 1
+                                s = s + jnp.where(m > 0, 1, 0)
+                                list_ref[i, r, cur] = -m
+                                cur = cur + jnp.where(m < 0, 1, 0)
+                                bits = bits & ~jax.lax.shift_left(
+                                    jnp.int32(1), cslot)
+                                return bits, s, cur
+
+                            _, s_out, c_out = jax.lax.while_loop(
+                                scond, sbody, (bits_rj, sps[r], curs[r]))
+                            sps[r] = s_out
+                            curs[r] = c_out
+                            continue
+                        mail_ref[i, r, 0] = sps[r]
+                        mail_ref[i, r, 1] = curs[r]
+
+                        @pl.when((bits_rj != 0) | (_SLOT_MODE == "always"))
+                        def _(r=r, w=w, bits_r=bits_rj, s0=sps[r],
+                              c0=curs[r], neg=neg):
+                            s, cur = s0, c0
+                            for kk in range(ARITY - 1, -1, -1):
+                                cslot = jnp.where(neg,
+                                                  jnp.int32(ARITY - 1 - kk),
+                                                  jnp.int32(kk))
+                                hit_c = (jax.lax.shift_right_logical(
+                                    bits_r, cslot) & 1) > 0
+                                m = meta_ref[w * ARITY + cslot]
+                                push = hit_c & (m > 0)
+                                leaf = hit_c & (m < 0)
+                                stack_ref[i, r, s] = m - 1
+                                s = s + jnp.where(push, 1, 0)
+                                list_ref[i, r, cur] = -m
+                                cur = cur + jnp.where(leaf, 1, 0)
+                            mail_ref[i, r, 0] = s
+                            mail_ref[i, r, 1] = cur
+
+                        sps[r] = mail_ref[i, r, 0]
+                        curs[r] = mail_ref[i, r, 1]
+
+                # ---- phase 2 (scalar): pop this iteration's nodes
                 stepping = []
                 nodes = []
                 for r in range(ROWS):
-                    step_r = (sps[r] > 0) & (curs[r] < SEG_CAP)
-                    top = jnp.maximum(sps[r] - 1, 0)
-                    # clamp: idle rows peek a garbage slot (the unconditional
-                    # cursor store) — keep the table reads in bounds
-                    w = jnp.clip(stack_ref[i, r, top], 0, num_wide - 1)
-                    sps[r] = sps[r] - jnp.where(step_r, 1, 0)
-                    stepping.append(step_r)
-                    nodes.append(w)
-                for g in range(4):  # row pairs -> one 16-bit sync each
-                    acc = None
-                    for rg in range(2):
-                        r = g * 2 + rg
-                        w = nodes[r]
+                    avail = sps[r]
+                    ok_cur = curs[r] < SEG_CAP
+                    npopped = jnp.int32(0)
+                    for j in range(NP):
+                        step = (avail > j) & ok_cur
+                        top = jnp.maximum(avail - 1 - j, 0)
+                        # clamp: idle rows peek a garbage slot (the
+                        # unconditional cursor store) — keep reads in bounds
+                        w = jnp.clip(stack_ref[i, r, top], 0, num_wide - 1)
+                        stepping.append(step)
+                        nodes.append(w)
+                        npopped = npopped + jnp.where(step, 1, 0)
+                    sps[r] = avail - npopped
+                    if walk_only:
+                        pops[r] = pops[r] + npopped
+
+                # ---- phase 3 (vector): slab-test the popped nodes; the
+                # syncs land in the carry and are consumed NEXT iteration
+                bt_tile = bt_ref[0]
+                accs = [None] * NSYNC
+                for r in range(ROWS):
+                    for j in range(NP):
+                        k = r * NP + j
+                        si, shift = sync_of[(r, j)]
+                        w = nodes[k]
                         tile = nbox_ref[w // 16]
                         base = (jax.lax.rem(w, 16)) * 8
                         # dynamic lane extraction: Mosaic lowers roll with a
@@ -182,59 +354,38 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                         sub_t = _t8(sub)  # (child, field)
                         hit = _slab8(sub_t, ob[r], ib[r],
                                      _row_bcast(bt_tile, r))
-                        hit = hit & stepping[r]
-                        w_r = jnp.left_shift(jnp.int32(1), 8 * rg + child_pow)
+                        hit = hit & stepping[k]
+                        w_r = jnp.left_shift(jnp.int32(1), shift + child_pow)
                         h = jnp.max(jnp.where(hit, w_r, 0), axis=1,
                                     keepdims=True)  # (8,1) per-child any-hit
-                        acc = h if acc is None else acc + h
-                    bits32.append(jnp.sum(acc))  # ONE vector→scalar sync
-                for r in range(ROWS):
-                    bits_r = (jax.lax.shift_right_logical(
-                        bits32[r // 2], 8 * (r % 2)) & 0xFF)
-                    # the 64-scalar-op slot loop runs ONLY for rows whose
-                    # hit mask is non-empty — with ordered descent + tight
-                    # best_t a large share of pops are stale and hit nothing
-                    mail_ref[i, r, 0] = sps[r]
-                    mail_ref[i, r, 1] = curs[r]
+                        accs[si] = h if accs[si] is None else accs[si] + h
+                bits32 = [jnp.sum(a) for a in accs]  # ONE sync each
 
-                    @pl.when(bits_r != 0)
-                    def _(r=r, w=nodes[r], bits_r=bits_r, s0=sps[r],
-                          c0=curs[r]):
-                        # ordered descent: slots are presorted front-to-back
-                        # along axis_ref[w]; negative-majority rows walk
-                        # them reversed.  Iterating far→near means the
-                        # NEAREST child is pushed last → popped first, and
-                        # near leaves land at the front of the drain list.
-                        ax = axis_ref[w]
-                        sgn = jnp.where(
-                            ax == 0, sgn_bits[0],
-                            jnp.where(ax == 1, sgn_bits[1], sgn_bits[2]))
-                        neg = (jax.lax.shift_right_logical(
-                            sgn, jnp.int32(r)) & 1) > 0
-                        s, cur = s0, c0
-                        for k in range(ARITY - 1, -1, -1):
-                            cslot = jnp.where(neg, jnp.int32(ARITY - 1 - k),
-                                              jnp.int32(k))
-                            hit_c = (jax.lax.shift_right_logical(
-                                bits_r, cslot) & 1) > 0
-                            m = meta_ref[w * ARITY + cslot]
-                            push = hit_c & (m > 0)
-                            leaf = hit_c & (m < 0)
-                            stack_ref[i, r, s] = m - 1
-                            s = s + jnp.where(push, 1, 0)
-                            list_ref[i, r, cur] = -m
-                            cur = cur + jnp.where(leaf, 1, 0)
-                        mail_ref[i, r, 0] = s
-                        mail_ref[i, r, 1] = cur
+                fresh = (tuple(bits32) + tuple(nodes)
+                         + tuple(jnp.where(s, 1, 0) for s in stepping))
+                # queue shift: fresh block becomes q=0, old q -> q+1
+                out = tuple(sps) + tuple(curs) + fresh
+                for q in range(D - 1):
+                    qb = B0 + q * blk
+                    out = out + tuple(cc[qb:qb + blk])
+                if walk_only:
+                    out = out + tuple(pops) + tuple(stales)
+                return out
 
-                    sps[r] = mail_ref[i, r, 0]
-                    curs[r] = mail_ref[i, r, 1]
-                return tuple(sps) + tuple(curs)
-
-            init = tuple(c[:ROWS]) + tuple(jnp.int32(0) for _ in range(ROWS))
-            walked = jax.lax.while_loop(wcond, wbody, init)
+            init = (tuple(c[:ROWS])
+                    + tuple(jnp.int32(0) for _ in range(ROWS))      # curs
+                    + tuple(jnp.int32(0) for _ in range(D * blk)))  # pendings
+            if walk_only:  # carried pop/stale counters resume across segments
+                init = init + tuple(c[ROWS:3 * ROWS])
+            body_n = wbody
+            if _UNROLL > 1:  # exact: extra steps no-op once rows/pendings idle
+                def body_n(cc):
+                    for _ in range(_UNROLL):
+                        cc = wbody(cc)
+                    return cc
+            walked = jax.lax.while_loop(wcond, body_n, init)
             if walk_only:  # timing diagnostics only — results are wrong
-                return walked[:ROWS]
+                return walked[:ROWS] + walked[W0:W0 + 2 * ROWS]
 
             # ---- drain segment (same design as the binary kernel)
             ns = [walked[ROWS + r] for r in range(ROWS)]
@@ -248,7 +399,7 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                 for r in range(ROWS):
                     packed = jnp.where(
                         l < ns[r],
-                        list_ref[i, r, jnp.minimum(l, SEG_CAP + ARITY - 1)], 0)
+                        list_ref[i, r, jnp.minimum(l, _list_cap() - 1)], 0)
                     start = packed // 64
                     count = packed - start * 64
                     counts.append(count)
@@ -282,10 +433,22 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             btri_ref[0] = best_tri
             return walked[:ROWS]
 
-        jax.lax.while_loop(outer_cond, outer_body,
-                           tuple(jnp.int32(1) for _ in range(ROWS)))
-        out_t_ref[i] = bt_ref[0]
-        out_tri_ref[i] = btri_ref[0]
+        outer_init = tuple(jnp.int32(1) for _ in range(ROWS))
+        if walk_only:
+            outer_init = outer_init + tuple(
+                jnp.int32(0) for _ in range(2 * ROWS))
+        final = jax.lax.while_loop(outer_cond, outer_body, outer_init)
+        if walk_only:
+            pops_col = _rows_from_scalars(final[ROWS:2 * ROWS], row_ids,
+                                          jnp.int32)
+            stale_col = _rows_from_scalars(
+                [v.astype(jnp.float32) for v in final[2 * ROWS:3 * ROWS]],
+                row_ids, jnp.float32)
+            out_tri_ref[i] = jnp.broadcast_to(pops_col, (ROWS, LANES))
+            out_t_ref[i] = jnp.broadcast_to(stale_col, (ROWS, LANES))
+        else:
+            out_t_ref[i] = bt_ref[0]
+            out_tri_ref[i] = btri_ref[0]
         return 0
 
     jax.lax.fori_loop(0, chains, chain_body, 0)
@@ -323,7 +486,7 @@ def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
         ],
         scratch_shapes=[
             pltpu.SMEM((chains, ROWS, STACK_CAP), jnp.int32),
-            pltpu.SMEM((chains, ROWS, SEG_CAP + ARITY + 1), jnp.int32),
+            pltpu.SMEM((chains, ROWS, _list_cap()), jnp.int32),
             pltpu.SMEM((chains, ROWS, 2), jnp.int32),  # pl.when mailbox
             pltpu.VMEM((1, ROWS, LANES), jnp.float32),
             pltpu.VMEM((1, ROWS, LANES), jnp.int32),
@@ -414,6 +577,7 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     boxless = empty | virtual
     cmin = jnp.where(boxless[:, None], _BIG, bvh_min[safe])   # (w8, 3)
     cmax = jnp.where(boxless[:, None], -_BIG, bvh_max[safe])
+    nan = jnp.float32(jnp.nan)
     # fill virtual slots from the referenced rows' hulls (group rows hold
     # only real slots — collapse_wide allows one grouping level — so one
     # fill pass suffices; the sort below then recomputes hulls correctly)
@@ -439,17 +603,21 @@ def pack_wide_tables(wide_src, wide_meta, bvh_min, bvh_max,
     cmax = jnp.take_along_axis(cmax3, perm[:, :, None], axis=1).reshape(w8, 3)
     empty = jnp.take_along_axis(empty.reshape(w, ARITY), perm, axis=1).reshape(w8)
     wide_meta = jnp.take_along_axis(wide_meta, perm, axis=1)
-    # re-apply the empty-slot sentinel boxes after the permutation gather
-    cmin = jnp.where(empty[:, None], _BIG, cmin)
-    cmax = jnp.where(empty[:, None], -_BIG, cmax)
+    # re-apply the empty-slot sentinel after the permutation gather.  NaN
+    # (not a swapped +/-BIG box): every comparison with NaN is false, so
+    # _slab8 can NEVER report an empty slot as hit — the sparse slot loop
+    # then iterates only real hits.  (A swapped box actually PASSES the
+    # slab test after its per-axis min/max reordering.)
+    cmin = jnp.where(empty[:, None], nan, cmin)
+    cmax = jnp.where(empty[:, None], nan, cmax)
 
     nbox = jnp.zeros((8, w8_pad), jnp.float32)
     nbox = nbox.at[0:3, :w8].set(cmin.T)
     nbox = nbox.at[3:6, :w8].set(cmax.T)
     # padding lanes beyond w8 must also never hit
     if w8_pad > w8:
-        nbox = nbox.at[0:3, w8:].set(_BIG)
-        nbox = nbox.at[3:6, w8:].set(-_BIG)
+        nbox = nbox.at[0:3, w8:].set(nan)
+        nbox = nbox.at[3:6, w8:].set(nan)
     nbox = nbox.reshape(8, w8_pad // LANES, LANES).transpose(1, 0, 2)
 
     meta = wide_meta.reshape(w8)
@@ -471,7 +639,7 @@ def vmem_table_bytes(num_wide: int, num_tris: int, leaf_k: int) -> int:
 def smem_meta_bytes(num_wide: int) -> int:
     return (num_wide * (ARITY + 1) * 4  # slot meta + per-node axis
             # stack + drain list + pl.when mailbox scratch, per chain row
-            + WIDE_CHAINS * ROWS * (STACK_CAP + SEG_CAP + ARITY + 1 + 2) * 4)
+            + WIDE_CHAINS * ROWS * (STACK_CAP + _list_cap() + 2) * 4)
 
 
 def traverse_packed_wide(origin, direction, min_t0, tables, *, num_wide: int,

@@ -202,7 +202,7 @@ def _use_packet_kernel(scene: SceneData, config: RenderConfig) -> bool:
 
 
 def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
-                active=None, tri_override=None):
+                active=None, tri_override=None, extra_bound=None):
     """Closest sphere-or-triangle hit per ray.
 
     Returns (min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit); min_t is
@@ -218,6 +218,14 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
     the host loop runs the Pallas traversal as its own fixed-shape program
     (see trace_radiance_host) and feeds the result in here, keeping this
     (shape-varying) program free of pallas_call.
+
+    `extra_bound` (optional (P,)): additional traversal prune distance —
+    the medium free-flight draw.  EXACT: a triangle beyond the free flight
+    can never be this bounce's event (the scatter wins whenever
+    free_flight < min_t, and a dropped triangle only raises min_t, which
+    cannot flip that comparison for any case the result is consumed in).
+    For SSS media the expected flight is far shorter than the scene, so
+    in-medium walks prune at the root's first levels.
     """
     p = origin.shape[0]
     if scene.num_spheres > 0:
@@ -229,6 +237,8 @@ def nearest_hit(origin, direction, scene: SceneData, config: RenderConfig,
         sph_idx = jnp.full((p,), -1, jnp.int32)
 
     bound = jax.lax.stop_gradient(sph_t)
+    if extra_bound is not None:
+        bound = jnp.minimum(bound, jax.lax.stop_gradient(extra_bound))
     if active is not None:
         bound = jnp.where(active, bound, 0.0)
 
@@ -288,11 +298,10 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     p = o.shape[0]
     mats = scene.materials
 
-    min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit = nearest_hit(
-        o, d, scene, config, state.active, tri_override
-    )
-
-    # ---- homogeneous medium event (Kernel/path_tracer_kernel.cu:456-492)
+    # ---- homogeneous medium event (Kernel/path_tracer_kernel.cu:456-492);
+    # the free flight is drawn BEFORE the nearest hit so it can bound the
+    # traversal (see nearest_hit extra_bound: exact, and the big SSS win —
+    # in-medium flights are millimeters against a scene-sized walk)
     rs_x = state.med_scattering[:, 0]
     medium_on = (rs_x > 0.0) | (length(state.med_absorption) > config.sss_threshold)
     # double-where: the rs_x == 0 branch must not divide by ~0, or its NaN/huge
@@ -302,6 +311,11 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
         rs_x > 0.0,
         -jnp.log(jnp.maximum(uniforms[:, 0], 1e-37)) / rs_safe,
         INF,
+    )
+
+    min_t, is_tri, tri_idx, b1, b2, sph_idx, any_hit = nearest_hit(
+        o, d, scene, config, state.active, tri_override,
+        extra_bound=free_flight,
     )
     scatter = state.active & medium_on & (free_flight < min_t)
     # absorption path length; a ray escaping to infinity inside an absorbing
@@ -367,6 +381,13 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     else:
         sph_normal = jnp.zeros((p, 3), jnp.float32)
     normal = jnp.where(is_tri[:, None], tri_normal, sph_normal)
+    # miss lanes in a sphere-less scene carry a ZERO normal; the sampling
+    # frame divides by |cross(normal, axis)| and 0/0's NaN primal would
+    # poison d(pixel)/d(geometry) through the VJP even though the lanes'
+    # lobes are discarded — park them on a unit placeholder instead
+    degen = length(normal) < 1e-12
+    normal = jnp.where(degen[:, None],
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32), normal)
 
     # all material parameters in ONE row gather; built from the (leaf,
     # differentiable) MaterialTable arrays each call so gradients still flow
@@ -511,7 +532,7 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
 
 def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
                    key, pixel_ids: Array = None, *,
-                   differentiable: bool = False) -> Array:
+                   differentiable: bool = False, rays=None) -> Array:
     """Trace one sample per pixel; returns (P, 3) radiance for this pass.
 
     `key` should already be folded with the pass index (ops.rng.pass_key).
@@ -521,11 +542,20 @@ def trace_radiance(scene: SceneData, camera: RenderCamera, config: RenderConfig,
     is split.  With differentiable=True the bounce loop is a fixed-depth
     lax.scan (reverse-mode safe); otherwise a while_loop that stops as soon as
     every lane is dead, like the reference's host-side break (:740-743).
+
+    `rays`: optional (origin, direction) arrays overriding camera ray
+    generation — arbitrary ray sets traced with the standard integrator
+    (pixel_ids then only keys the per-lane RNG streams).  Used by the
+    silhouette edge-sampling estimator (diff.edges).
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.pixel_count, dtype=jnp.int32)
-    ray_u = rng.raygen_uniforms(key, pixel_ids)
-    origin, direction = generate_rays(camera, pixel_ids, ray_u, config.use_anti_alias)
+    if rays is None:
+        ray_u = rng.raygen_uniforms(key, pixel_ids)
+        origin, direction = generate_rays(camera, pixel_ids, ray_u,
+                                          config.use_anti_alias)
+    else:
+        origin, direction = rays
     state = _initial_state(origin, direction, config)
 
     # "host"/"auto" resolve to the fused while-loop here — the host-driven
@@ -698,21 +728,24 @@ def _pad_rays_jit(state: RayState, scene: SceneData, p_fixed: int):
     return o, d, b
 
 
-@jax.jit
-def _seed_bound_jit(state: RayState, scene: SceneData):
+@functools.partial(jax.jit, static_argnames=("config", "with_ff"))
+def _seed_bound_jit(state: RayState, scene: SceneData, config: RenderConfig,
+                    key, depth, pixel_ids, with_ff: bool):
     """Standalone seed-bound dispatch — only used when the wavefront is
     already chunk-aligned at raygen (no pad step to piggyback on); between
     bounces the bound rides along in _repack_jit's output instead (one
     fewer full-wavefront dispatch per bounce)."""
-    return _seed_bound_of(state, scene)
+    return _seed_bound_of(state, scene, config, key, depth, pixel_ids,
+                          with_ff)
 
 
 _PAD_PIXEL_ID = 1 << 30  # sentinel pixel id of wavefront padding lanes
 
 
-@functools.partial(jax.jit, static_argnames=("p_pad",))
+@functools.partial(jax.jit, static_argnames=("p_pad", "config", "with_ff"))
 def _pad_state_jit(state: RayState, pixel_ids, live_ids, scene: SceneData,
-                   p_pad: int):
+                   p_pad: int, config: RenderConfig = None, key=None,
+                   with_ff: bool = False):
     """ONE-time pad of the freshly-generated wavefront to the traversal
     chunk multiple; the tail lanes are inactive (zero radiance, direction 1)
     and every later stage keeps the aligned size.  Also emits the padded
@@ -737,19 +770,38 @@ def _pad_state_jit(state: RayState, pixel_ids, live_ids, scene: SceneData,
     # padding lanes carry the out-of-range sentinel pixel id so per-depth
     # scatters keyed on pixel id (tri-id recording) drop them; 2^30 is a
     # power of two, exact through the f32 repack packing
-    return (new_state, padf(pixel_ids, _PAD_PIXEL_ID), padf(live_ids, 0),
-            _seed_bound_of(new_state, scene))
+    new_pixel_ids = padf(pixel_ids, _PAD_PIXEL_ID)
+    return (new_state, new_pixel_ids, padf(live_ids, 0),
+            _seed_bound_of(new_state, scene, config, key, 0, new_pixel_ids,
+                           with_ff))
 
 
-def _seed_bound_of(state: RayState, scene: SceneData):
-    """Traversal seed bound: closest-sphere t for live lanes, 0 for dead."""
+def _seed_bound_of(state: RayState, scene: SceneData,
+                   config: RenderConfig = None, key=None, depth=None,
+                   pixel_ids=None, with_ff: bool = False):
+    """Traversal seed bound: closest-sphere t for live lanes, 0 for dead.
+
+    With with_ff (scenes carrying scattering media), the bound is further
+    capped by the SAME medium free-flight draw bounce_step will make — a
+    triangle beyond the flight can never be the bounce's event (see
+    nearest_hit extra_bound), and in-medium flights are tiny, so the SSS
+    wavefront's walks prune almost immediately.
+    """
     p = state.origin.shape[0]
     if scene.num_spheres > 0:
         sph_t, _ = nearest_sphere(state.origin, state.direction,
                                   scene.sphere_center, scene.sphere_radius)
     else:
         sph_t = jnp.full((p,), INF)
-    return jnp.where(state.active, jax.lax.stop_gradient(sph_t), 0.0)
+    bound = jax.lax.stop_gradient(sph_t)
+    if with_ff:
+        u0 = rng.bounce_uniforms(key, depth, pixel_ids)[:, 0]
+        rs_x = state.med_scattering[:, 0]
+        rs_safe = jnp.where(rs_x > 0.0, rs_x, 1.0)
+        ff = jnp.where(rs_x > 0.0,
+                       -jnp.log(jnp.maximum(u0, 1e-37)) / rs_safe, INF)
+        bound = jnp.minimum(bound, jax.lax.stop_gradient(ff))
+    return jnp.where(state.active, bound, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -801,18 +853,26 @@ def _bucket_for(count: int, cur: int, ladder) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "key_mode"),
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "key_mode", "config",
+                                    "with_ff"),
                    donate_argnums=(3,))
 def _repack_jit(state: RayState, pixel_ids, live_ids, radiance_full,
                 scene: SceneData, out_size: int, key_mode: str = "octant",
-                box_lo=None, box_hi=None):
+                box_lo=None, box_hi=None, config: RenderConfig = None,
+                prng_key=None, next_depth=None, with_ff: bool = False):
     return _repack_core(state, pixel_ids, live_ids, radiance_full, scene,
-                        out_size, key_mode, box_lo, box_hi)
+                        out_size, key_mode, box_lo, box_hi, config, prng_key,
+                        next_depth, with_ff)
 
 
 def _repack_core(state: RayState, pixel_ids, live_ids, radiance_full,
                  scene: SceneData, out_size: int, key_mode: str = "octant",
-                 box_lo=None, box_hi=None):
+                 box_lo=None, box_hi=None, config: RenderConfig = None,
+                 prng_key=None, next_depth=None, with_ff: bool = False):
+    # NB the compaction sort key below is the local `key`; the PRNG key is
+    # `prng_key` (a (P,) sort array silently shadowing the PRNG key cost a
+    # round of debugging — keep the names distinct)
     """Flush lane radiance into the full-res buffer, then compact the active
     lanes into a dense wavefront of `out_size` lanes, grouped by direction
     octant.
@@ -898,9 +958,11 @@ def _repack_core(state: RayState, pixel_ids, live_ids, radiance_full,
     )
     # next bounce's traversal seed, fused here so no standalone
     # full-wavefront seed dispatch runs between bounces
-    return (new_state, packed[:, 19].astype(jnp.int32),
+    new_pixel_ids = packed[:, 19].astype(jnp.int32)
+    return (new_state, new_pixel_ids,
             packed[:, 20].astype(jnp.int32), radiance_full,
-            _seed_bound_of(new_state, scene))
+            _seed_bound_of(new_state, scene, config, prng_key, next_depth,
+                           new_pixel_ids, with_ff))
 
 
 @jax.jit
@@ -910,12 +972,13 @@ def _flush_jit(radiance_full, live_ids, radiance):
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "out_size", "key_mode",
-                                    "with_tri"),
+                                    "with_tri", "with_ff"),
                    donate_argnums=(3,))
 def _bounce_repack_jit(state: RayState, scene: SceneData,
                        config: RenderConfig, radiance_full, key, depth,
                        pixel_ids, live_ids, tri_full, box_lo, box_hi,
-                       out_size: int, key_mode: str, with_tri: bool):
+                       out_size: int, key_mode: str, with_tri: bool,
+                       with_ff: bool = False):
     """Shade + compaction fused into ONE dispatch (predicted-bucket loop
     only — the bucket must be known before dispatch).  Halves the non-
     traversal dispatch count per bounce, which is the dominant shard_map
@@ -928,22 +991,23 @@ def _bounce_repack_jit(state: RayState, scene: SceneData,
     alive = jnp.sum(new_state.active)
     ns, pids, lids, rf, bound = _repack_core(
         new_state, pixel_ids, live_ids, radiance_full, scene, out_size,
-        key_mode, box_lo, box_hi)
+        key_mode, box_lo, box_hi, config, key, depth + 1, with_ff)
     return ns, pids, lids, rf, bound, alive
 
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "out_size_local", "key_mode",
-                                    "with_tri", "mesh"),
+                                    "with_tri", "mesh", "with_ff"),
                    donate_argnums=(3,))
 def _bounce_repack_shard(state, scene, config: RenderConfig, radiance_full,
                          key, depth, pixel_ids, live_ids, tri_full, box_lo,
                          box_hi, out_size_local: int, key_mode: str,
-                         with_tri: bool, mesh):
+                         with_tri: bool, mesh, with_ff: bool = False):
     def body(s, sc, rf, k, dep, pids, lids, tri, lo, hi):
         ns, p_, l_, rf_, bound, alive = _bounce_repack_jit(
             s, sc, config, rf, k, dep, pids, lids, tri, lo, hi,
-            out_size=out_size_local, key_mode=key_mode, with_tri=with_tri)
+            out_size=out_size_local, key_mode=key_mode, with_tri=with_tri,
+            with_ff=with_ff)
         return ns, p_, l_, rf_, bound, alive[None]
 
     fn = jax.shard_map(
@@ -974,22 +1038,28 @@ def _raygen_shard(camera, config: RenderConfig, key, pixel_ids, mesh):
     return fn(camera, key, pixel_ids)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
-def _seed_bound_shard(state, scene, mesh):
+@functools.partial(jax.jit, static_argnames=("mesh", "config", "with_ff"))
+def _seed_bound_shard(state, scene, config, key, depth, pixel_ids, mesh,
+                      with_ff: bool = False):
     fn = jax.shard_map(
-        _seed_bound_jit, mesh=mesh, in_specs=(_PS(RAY_AXIS), _PS()),
+        lambda s, sc, k, pids: _seed_bound_jit(s, sc, config, k, depth,
+                                               pids, with_ff),
+        mesh=mesh,
+        in_specs=(_PS(RAY_AXIS), _PS(), _PS(), _PS(RAY_AXIS)),
         out_specs=_PS(RAY_AXIS), check_vma=False)
-    return fn(state, scene)
+    return fn(state, scene, key, pixel_ids)
 
 
-@functools.partial(jax.jit, static_argnames=("p_pad_local", "mesh"))
+@functools.partial(jax.jit, static_argnames=("p_pad_local", "mesh",
+                                              "config", "with_ff"))
 def _pad_state_shard(state, pixel_ids, live_ids, scene, p_pad_local: int,
-                     mesh):
+                     mesh, config=None, key=None, with_ff: bool = False):
     fn = jax.shard_map(
-        lambda s, p_, l, sc: _pad_state_jit(s, p_, l, sc, p_pad_local),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3 + (_PS(),),
+        lambda s, p_, l, sc, k: _pad_state_jit(s, p_, l, sc, p_pad_local,
+                                               config, k, with_ff),
+        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 3 + (_PS(), _PS()),
         out_specs=(_PS(RAY_AXIS),) * 4, check_vma=False)
-    return fn(state, pixel_ids, live_ids, scene)
+    return fn(state, pixel_ids, live_ids, scene, key)
 
 
 @functools.partial(jax.jit,
@@ -1045,17 +1115,22 @@ def _bounce_shard(state, scene, config: RenderConfig, key, depth, pixel_ids,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_size_local", "key_mode", "mesh"),
+                   static_argnames=("out_size_local", "key_mode", "mesh",
+                                    "config", "with_ff"),
                    donate_argnums=(3,))
 def _repack_shard(state, pixel_ids, live_ids, radiance_full, scene,
-                  out_size_local: int, key_mode: str, box_lo, box_hi, mesh):
+                  out_size_local: int, key_mode: str, box_lo, box_hi, mesh,
+                  config=None, key=None, next_depth=None,
+                  with_ff: bool = False):
     fn = jax.shard_map(
-        lambda s, p_, l, r, sc, lo, hi: _repack_jit(
-            s, p_, l, r, sc, out_size_local, key_mode, lo, hi),
-        mesh=mesh, in_specs=(_PS(RAY_AXIS),) * 4 + (_PS(), _PS(), _PS()),
+        lambda s, p_, l, r, sc, lo, hi, k: _repack_jit(
+            s, p_, l, r, sc, out_size_local, key_mode, lo, hi, config, k,
+            next_depth, with_ff),
+        mesh=mesh,
+        in_specs=(_PS(RAY_AXIS),) * 4 + (_PS(), _PS(), _PS(), _PS()),
         out_specs=(_PS(RAY_AXIS),) * 5, check_vma=False)
     return fn(state, pixel_ids, live_ids, radiance_full, scene, box_lo,
-              box_hi)
+              box_hi, key)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
@@ -1172,6 +1247,10 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
     else:
         box_lo = box_hi = jnp.zeros((3,), jnp.float32)
 
+    # free-flight traversal bound: only drawn when the scene can put a
+    # lane inside a scattering medium (static flag; see _seed_bound_of)
+    with_ff = bool(scene.has_scatter_media
+                   or config.air_reduced_scattering_coef[0] > 0)
     bound = None
     if mesh is None:
         state = _raygen_jit(camera, config, key, pixel_ids)
@@ -1179,9 +1258,11 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         radiance_full = jnp.zeros((p, 3), jnp.float32)
         if p_state != p_local:
             state, pixel_ids, live_ids, bound = _pad_state_jit(
-                state, pixel_ids, live_ids, scene, p_state)
+                state, pixel_ids, live_ids, scene, p_state, config, key,
+                with_ff)
         elif use_packets:
-            bound = _seed_bound_jit(state, scene)
+            bound = _seed_bound_jit(state, scene, config, key, 0, pixel_ids,
+                                    with_ff)
     else:
         # commit replicated inputs to the mesh ONCE so no shard_map call
         # pays a resharding copy for them (scene + kernel tables are the
@@ -1194,9 +1275,11 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
         live_ids, radiance_full = _init_wavefront_shard(p_local, mesh)
         if p_state != p_local:
             state, pixel_ids, live_ids, bound = _pad_state_shard(
-                state, pixel_ids, live_ids, scene, p_state, mesh)
+                state, pixel_ids, live_ids, scene, p_state, mesh, config,
+                key, with_ff)
         elif use_packets:
-            bound = _seed_bound_shard(state, scene, mesh)
+            bound = _seed_bound_shard(state, scene, config, key, 0,
+                                      pixel_ids, mesh, with_ff)
 
     import numpy as _np
 
@@ -1264,21 +1347,24 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             return _bounce_repack_jit(
                 state, scene, config, radiance_full, key, depth, pixel_ids,
                 live_ids, tri_full, box_lo, box_hi, out_size=bucket,
-                key_mode=config.repack_key, with_tri=with_tri)
+                key_mode=config.repack_key, with_tri=with_tri,
+                with_ff=with_ff)
         return _bounce_repack_shard(
             state, scene, config, radiance_full, key, depth, pixel_ids,
             live_ids, tri_full, box_lo, box_hi, out_size_local=bucket,
-            key_mode=config.repack_key, with_tri=with_tri, mesh=mesh)
+            key_mode=config.repack_key, with_tri=with_tri, mesh=mesh,
+            with_ff=with_ff)
 
-    def repack(state, pixel_ids, live_ids, radiance_full, bucket):
+    def repack(state, pixel_ids, live_ids, radiance_full, bucket,
+               next_depth):
         """→ (state, pixel_ids, live_ids, radiance_full, next seed bound)."""
         if mesh is None:
             return _repack_jit(state, pixel_ids, live_ids, radiance_full,
                                scene, bucket, config.repack_key, box_lo,
-                               box_hi)
+                               box_hi, config, key, next_depth, with_ff)
         return _repack_shard(state, pixel_ids, live_ids, radiance_full,
                              scene, bucket, config.repack_key, box_lo,
-                             box_hi, mesh)
+                             box_hi, mesh, config, key, next_depth, with_ff)
 
     depth_n = config.max_tracer_depth
     prof_key = (config, p_state, n_ray, bool(use_packets))
@@ -1328,7 +1414,8 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
                     break
                 bucket = _bucket_for(min(actual, cur), cur, ladder)
                 state, pixel_ids, live_ids, radiance_full, bound = repack(
-                    state, pixel_ids, live_ids, radiance_full, bucket)
+                    state, pixel_ids, live_ids, radiance_full, bucket,
+                    depth + 1)
                 bucket_log[depth] = bucket
                 cur = bucket
         if mesh is None:
@@ -1375,7 +1462,7 @@ def trace_radiance_host(scene: SceneData, camera: RenderCamera,
             # more on the packet traversal than the repack costs
             bucket = _bucket_for(count_max, cur, ladder)
             state, pixel_ids, live_ids, radiance_full, bound = repack(
-                state, pixel_ids, live_ids, radiance_full, bucket)
+                state, pixel_ids, live_ids, radiance_full, bucket, depth + 1)
             cur = bucket
     _SEG_PROFILE[prof_key] = profile + [0] * (depth_n - len(profile))
     if stats is not None:

@@ -262,6 +262,10 @@ def build_scene_data(host: HostScene, config: RenderConfig,
         has_specular_tex=any(
             int(m.get("specular_texture_id", -1)) >= 0 for m in host.materials
         ),
+        has_scatter_media=any(
+            float(np.asarray(m.get("reduced_scattering", (0, 0, 0)))[0]) > 0.0
+            for m in host.materials
+        ),
     )
 
 

@@ -77,3 +77,45 @@ def test_all_reference_scenes_parse_and_validate():
     assert len(files) == 22
     for f in files:
         load_scene_file(f, load_assets=False)
+
+
+@requires_reference_assets
+def test_tex_cube_golden_256():
+    """Reference-CLASS golden (VERDICT r4 next #8): a real shipped scene
+    (tex_cube.json — textured cube + cube-map background) at 256^2 compared
+    against the scalar oracle with the standard tolerance.  The shipped
+    yokohama map isn't in the reference tree; the lobby map (also a real
+    reference BMP cube map) stands in.  Slow: ~65k oracle pixels."""
+    import jax
+
+    from pathtracerwithcuda_tpu.core.types import RenderCamera
+    from pathtracerwithcuda_tpu.ops import rng
+    from pathtracerwithcuda_tpu.render.wavefront import trace_radiance
+    from pathtracerwithcuda_tpu.scene.build import build_scene_data
+    from tests import oracle
+    from tests.test_render_golden import _camera_dict, _oracle_scene, _uniforms
+
+    host = load_scene_file(os.path.join(SCENE_DIR, "tex_cube.json"))
+    host.env_faces = load_cube_map(TEXTURE_DIR, "lobby", "bmp")
+    assert host.env_faces is not None
+    assert sum(m.vertices.shape[0] for m in host.meshes) == 12
+
+    size = 256
+    config = RenderConfig(width=size, height=size, max_tracer_depth=3,
+                          use_sky_box=True, use_sky=False)
+    scene = build_scene_data(host, config)
+    cam = RenderCamera.create(
+        eye=(2.2, 1.8, 3.6), view=(-0.48, -0.39, -0.78), up=(0, 1, 0),
+        width=size, height=size, fov_x_deg=45.0, focal_distance=4.5,
+    )
+    key = rng.pass_key(jax.random.PRNGKey(0), 0)
+    radiance = np.asarray(trace_radiance(scene, cam, config, key))
+    raygen_u, bounce_u, rr_u = _uniforms(config, key)
+    expected = oracle.render(_oracle_scene(host, scene), _camera_dict(cam),
+                             config, raygen_u, bounce_u, rr_u)
+    err = np.abs(radiance - expected).max(axis=-1)
+    bad = (err > 2e-2).mean()
+    assert bad <= 0.02, (
+        f"{bad:.3%} pixels deviate by more than 2e-2 (max {err.max():.4f})")
+    # the frame actually shows the textured cube against the map
+    assert radiance.std() > 0.05
