@@ -127,7 +127,7 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
       never pass the slab test — so hit bits contain only real children
       and the sparse slot loop's trip count is the true hit count.
     stack_ref (SMEM (chains, ROWS, STACK_CAP)), list_ref (SMEM
-      (chains, ROWS, SEG_CAP+ARITY+1)): per-row walk stack / drain list.
+      (chains, ROWS, _list_cap())): per-row walk stack / drain list.
     """
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
