@@ -438,7 +438,8 @@ def main() -> None:
 
     results = {}
     order = [FLAGSHIP, "cornell_256_4spp_d4", "mesh_bvh_512", "sss_dof_1080p",
-             "fwd_bwd_256", "fwd_bwd_1080p", "weak_scaling_1way"]
+             "fwd_bwd_256", "fwd_bwd_1080p", "weak_scaling_1way",
+             "weak_scaling_cpu8"]
     for name in order:
         kw, budget = SUITE[name]
         left = deadline - time.monotonic()

@@ -13,9 +13,11 @@ star).  Design:
     treated as fixed w.r.t. parameters — the standard detached-sampling /
     reparameterized estimator: continuous factors (Fresnel weights appear in
     the lobe *choice* only; throughput factors, absorption, emission, textures)
-    carry exact gradients.  Visibility/silhouette gradients (moving geometry
-    edges) are not modeled — the documented limitation, as in most
-    path-space AD frameworks without edge sampling.
+    carry exact gradients;
+  * visibility/silhouette gradients (moving geometry edges) are supplied by
+    the SEPARATE boundary-term estimator in diff.edges (silhouette edge
+    sampling for spheres and meshes, FD-verified) — add its surrogate to the
+    loss when differentiating geometry/transform parameters.
 
 All material table leaves (diffuse/emission/specular/roughness/IOR/extinction/
 absorption/scattering), texture atlas data and environment faces are ordinary

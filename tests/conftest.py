@@ -27,3 +27,18 @@ def reference_available() -> bool:
 requires_reference_assets = pytest.mark.skipif(
     not reference_available(), reason="reference asset tree not mounted"
 )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The round-5 suite (~130 tests incl. big differentiable and shard_map
+    programs) accumulated enough in-process compiler state that XLA:CPU
+    segfaulted INSIDE backend_compile partway through tests/test_sharding.py
+    (reproducible only with the full-suite history, not with any two files).
+    Dropping executables between modules keeps the compiler healthy; each
+    module's own caching is unaffected.
+    """
+    yield
+    jax.clear_caches()
