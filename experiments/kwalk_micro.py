@@ -159,3 +159,194 @@ for v in ["full", "noslot", "nosync", "veconly", "syncs"]:
     except Exception as e:  # noqa: BLE001
         print(f"{v}: FAIL {type(e).__name__}: {str(e).splitlines()[0][:120]}",
               flush=True)
+
+
+def run_carry_variant(ncarry):
+    """nosync-style body (vector + slot loops, constant mask) but carrying
+    `ncarry` extra live scalars through the while loop — isolates the
+    per-carried-scalar back-edge cost suspected of owning the real kernel's
+    per-iteration floor."""
+    meta = jnp.asarray(np.random.default_rng(0).integers(-1000, 1000, 256),
+                       jnp.int32)
+    nbox = jnp.asarray(np.random.default_rng(1).normal(size=(16, 8, 128)),
+                       jnp.float32)
+    o = jnp.asarray(np.random.default_rng(2).normal(size=(ROWS, LANES)),
+                    jnp.float32)
+
+    def kernel(meta_ref, nbox_ref, o_ref, out_ref, stack_ref, mail_ref):
+        child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        o = o_ref[:]
+        inv_d = o * 1.0001 + 1.0
+        best_t = o * 0.0 + 1e30
+        for r in range(ROWS):
+            stack_ref[r, 0] = jnp.int32(1)
+
+        def body(c):
+            it = c[0]
+            extras = list(c[1:])
+            nodes = [jnp.minimum((it + r * 7) & 255, 255) for r in range(ROWS)]
+            bits32 = []
+            for g in range(4):
+                accv = None
+                for rg in range(2):
+                    r = g * 2 + rg
+                    w = nodes[r]
+                    tile = nbox_ref[w // 16]
+                    base = jax.lax.rem(w, 16) * 8
+                    sub = pltpu.roll(tile, -base, axis=1)[:, :8]
+                    sub_t = jnp.transpose(sub)
+                    hit = _slab8(sub_t, o, inv_d, best_t)
+                    w_r = jnp.left_shift(jnp.int32(1), 8 * rg + child_pow)
+                    h = jnp.max(jnp.where(hit, w_r, 0), axis=1, keepdims=True)
+                    accv = h if accv is None else accv + h
+                bits32.append(jnp.int32(0x5a5a) + it)
+            for r in range(ROWS):
+                bits_r = (jax.lax.shift_right_logical(
+                    bits32[r // 2], 8 * (r % 2)) & 0xFF)
+                s = it & 31
+                cur = jnp.int32(0)
+                for k in range(7, -1, -1):
+                    hit_c = (jax.lax.shift_right_logical(
+                        bits_r, jnp.int32(k)) & 1) > 0
+                    m = meta_ref[(k * 37 + r) & 255]
+                    stack_ref[r, s & 31] = m - 1
+                    s = s + jnp.where(hit_c & (m > 0), 1, 0)
+                    stack_ref[r, (cur + 32) & 63] = -m
+                    cur = cur + jnp.where(hit_c & (m < 0), 1, 0)
+            # touch every extra so none is dead-code eliminated
+            extras = [e + (bits32[i % 4] & 1) for i, e in enumerate(extras)]
+            return (it + 1,) + tuple(extras)
+
+        init = (jnp.int32(0),) + tuple(jnp.int32(i) for i in range(ncarry))
+        out = jax.lax.while_loop(lambda c: c[0] < ITERS, body, init)
+        out_ref[0] = out[0] + out[-1] if ncarry else out[0]
+
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.SMEM((ROWS, STACK), jnp.int32),
+                        pltpu.SMEM((ROWS, 2), jnp.int32)],
+    )
+    x = f(meta, nbox, o)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        x = f(meta, nbox, o)
+    np.asarray(x)
+    dt = (time.perf_counter() - t0) / n
+    print(f"carry+{ncarry:<3d} {dt / ITERS * 1e9:8.1f} ns/iter", flush=True)
+
+
+if os.environ.get("PT_CARRY_SWEEP"):
+    for n in (0, 8, 16, 32, 48):
+        try:
+            run_carry_variant(n)
+        except Exception as e:  # noqa: BLE001
+            print(f"carry+{n}: FAIL {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+
+
+def run_vcarry():
+    """Carry the per-group hit-mask VECTORS through the while loop and do
+    the vector->scalar reduction one iteration later: the sum's operand is
+    then long since computed, so the scalar read doesn't wait on the slab
+    pipeline — the stagger that the scalar-carried version could not
+    express (carried scalars materialize at the back edge, forcing the
+    wait at the issue point regardless of consumption point)."""
+    meta = jnp.asarray(np.random.default_rng(0).integers(-1000, 1000, 256),
+                       jnp.int32)
+    nbox = jnp.asarray(np.random.default_rng(1).normal(size=(16, 8, 128)),
+                       jnp.float32)
+    o = jnp.asarray(np.random.default_rng(2).normal(size=(ROWS, LANES)),
+                    jnp.float32)
+
+    def kernel(meta_ref, nbox_ref, o_ref, out_ref, stack_ref, mail_ref):
+        child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        o = o_ref[:]
+        inv_d = o * 1.0001 + 1.0
+        best_t = o * 0.0 + 1e30
+        for r in range(ROWS):
+            stack_ref[r, 0] = jnp.int32(1)
+
+        def body(c):
+            it = c[0]
+            pending = list(c[1:])  # 4 x (8,1) hit-weight vectors
+
+            # phase 1: consume LAST iteration's masks (operands ready)
+            bits32 = [jnp.sum(p) for p in pending]
+            for r in range(ROWS):
+                bits_r = (jax.lax.shift_right_logical(
+                    bits32[r // 2], 8 * (r % 2)) & 0xFF)
+                mail_ref[r, 0] = it
+
+                @pl.when(bits_r != 0)
+                def _(r=r, bits_r=bits_r, a=it):
+                    s = a & 31
+                    cur = jnp.int32(0)
+                    for k in range(7, -1, -1):
+                        hit_c = (jax.lax.shift_right_logical(
+                            bits_r, jnp.int32(k)) & 1) > 0
+                        m = meta_ref[(k * 37 + r) & 255]
+                        stack_ref[r, s & 31] = m - 1
+                        s = s + jnp.where(hit_c & (m > 0), 1, 0)
+                        stack_ref[r, (cur + 32) & 63] = -m
+                        cur = cur + jnp.where(hit_c & (m < 0), 1, 0)
+                    mail_ref[r, 0] = s
+
+            # phase 2+3: new slabs; masks go into the carry unreduced
+            nodes = [jnp.minimum((it + mail_ref[r, 0] + r * 7) & 255, 255)
+                     for r in range(ROWS)]
+            new_pending = []
+            for g in range(4):
+                accv = None
+                for rg in range(2):
+                    r = g * 2 + rg
+                    w = nodes[r]
+                    tile = nbox_ref[w // 16]
+                    base = jax.lax.rem(w, 16) * 8
+                    sub = pltpu.roll(tile, -base, axis=1)[:, :8]
+                    sub_t = jnp.transpose(sub)
+                    hit = _slab8(sub_t, o, inv_d, best_t)
+                    w_r = jnp.left_shift(jnp.int32(1), 8 * rg + child_pow)
+                    h = jnp.max(jnp.where(hit, w_r, 0), axis=1, keepdims=True)
+                    accv = h if accv is None else accv + h
+                new_pending.append(accv)
+            return (it + 1,) + tuple(new_pending)
+
+        init = (jnp.int32(0),) + tuple(
+            jnp.zeros((ROWS, 1), jnp.int32) for _ in range(4))
+        out = jax.lax.while_loop(lambda c: c[0] < ITERS, body, init)
+        out_ref[0] = out[0]
+
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.SMEM((ROWS, STACK), jnp.int32),
+                        pltpu.SMEM((ROWS, 2), jnp.int32)],
+    )
+    x = f(meta, nbox, o)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        x = f(meta, nbox, o)
+    np.asarray(x)
+    dt = (time.perf_counter() - t0) / n
+    print(f"vcarry   {dt / ITERS * 1e9:8.1f} ns/iter", flush=True)
+
+
+if os.environ.get("PT_VCARRY"):
+    try:
+        run_vcarry()
+    except Exception as e:  # noqa: BLE001
+        print(f"vcarry: FAIL {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:140]}", flush=True)
