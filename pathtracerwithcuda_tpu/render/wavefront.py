@@ -342,10 +342,26 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
 
     safe_tri = jnp.clip(tri_idx, 0, max(scene.num_triangles - 1, 0))
     safe_sph = jnp.clip(sph_idx, 0, max(scene.num_spheres - 1, 0))
-    if scene.num_spheres > 0:
+    if scene.num_spheres > 0 and scene.num_spheres <= 64:
+        # small-table lookup as one-hot matmul (see mat_rows below): one
+        # (P,S)@(S,4) HIGHEST-precision matmul replaces two row gathers
+        # (center + material id; ids are exact in f32 below 2^24)
+        sph_tab = jnp.concatenate(
+            [scene.sphere_center,
+             scene.sphere_material.astype(jnp.float32)[:, None]], axis=1)
+        sph_oh = (safe_sph[:, None]
+                  == jnp.arange(scene.num_spheres, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        sph_rows = jnp.dot(sph_oh, sph_tab,
+                           precision=jax.lax.Precision.HIGHEST)  # (P, 4)
+        sph_mat = sph_rows[:, 3].astype(jnp.int32)
+        sph_center_rows = sph_rows[:, 0:3]
+    elif scene.num_spheres > 0:
         sph_mat = scene.sphere_material[safe_sph]
+        sph_center_rows = scene.sphere_center[safe_sph]
     else:
         sph_mat = jnp.zeros((p,), jnp.int32)
+        sph_center_rows = None
 
     t_safe = jnp.where(any_hit, min_t, 0.0)  # same inf-guard as ff_safe
     hit_point = o + d * t_safe[:, None]
@@ -376,7 +392,7 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
         tri_mat = jnp.zeros((p,), jnp.int32)
     mat_id = jnp.where(is_tri, tri_mat, sph_mat)
     if scene.num_spheres > 0:
-        sph_normal_raw = hit_point - scene.sphere_center[safe_sph]
+        sph_normal_raw = hit_point - sph_center_rows
         sph_normal = sph_normal_raw / jnp.maximum(length(sph_normal_raw), 1e-20)[:, None]
     else:
         sph_normal = jnp.zeros((p, 3), jnp.float32)
@@ -389,16 +405,32 @@ def bounce_step(state: RayState, scene: SceneData, config: RenderConfig,
     normal = jnp.where(degen[:, None],
                        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), normal)
 
-    # all material parameters in ONE row gather; built from the (leaf,
+    # all material parameters in ONE row lookup; built from the (leaf,
     # differentiable) MaterialTable arrays each call so gradients still flow
-    mat_rows = jnp.concatenate(
+    mat_tab = jnp.concatenate(
         [mats.diffuse, mats.emission, mats.specular, mats.absorption,
          mats.reduced_scattering, mats.transparent[:, None],
          mats.roughness[:, None], mats.refraction_index[:, None],
          mats.extinction[:, None],
          mats.diffuse_texture_id.astype(jnp.float32)[:, None],
          mats.specular_texture_id.astype(jnp.float32)[:, None]], axis=1,
-    )[mat_id]  # (P, 21)
+    )  # (M, 21)
+    if mats.count <= 128:
+        # small-table row lookup as a one-hot matmul: measured 6.7 ms vs
+        # 12.2 ms for the row gather at a 2M wavefront (XLA's TPU gather
+        # pays per row regardless of table size; the MXU doesn't).
+        # Precision.HIGHEST is REQUIRED and verified bitwise-exact: the f32
+        # operands split exactly into bf16 triples, each output element is
+        # one 1.0*v product plus zeros (default precision truncates v to
+        # bf16 and corrupts the table values).  The one-hot transpose
+        # routes cotangents back to the table rows, so gradients flow.
+        onehot = (mat_id[:, None]
+                  == jnp.arange(mats.count, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        mat_rows = jnp.dot(onehot, mat_tab,
+                           precision=jax.lax.Precision.HIGHEST)  # (P, 21)
+    else:
+        mat_rows = mat_tab[mat_id]  # (P, 21)
     mat_diffuse = mat_rows[:, 0:3]
     mat_emission = mat_rows[:, 3:6]
     mat_specular = mat_rows[:, 6:9]
