@@ -8,6 +8,7 @@ bit-for-bit given the same uniforms.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pathtracerwithcuda_tpu.ops.linalg import cross, dot, normalize
@@ -48,11 +49,17 @@ def cosine_hemisphere(normal, u1, u2):
 
 def ggx_half_vector(normal, roughness, u1, u2):
     """GGX-distributed micro-normal (reference :194-223):
-    theta = atan(a * sqrt(u) / sqrt(1-u))."""
-    theta = jnp.arctan(
-        roughness * jnp.sqrt(u1) / jnp.sqrt(jnp.maximum(1.0 - u1, 1e-20))
-    )
-    return _from_frame(normal, jnp.cos(theta), jnp.sin(theta), u2 * TWO_PI)
+    theta = atan(a * sqrt(u) / sqrt(1-u)).
+
+    cos/sin of the atan are evaluated algebraically — for t = tan(theta),
+    cos(theta) = rsqrt(1 + t^2) and sin(theta) = t * cos(theta) — one
+    rsqrt instead of three transcendental polynomials on the VPU.  Same
+    function to f32 rounding (the oracle keeps the literal atan form and
+    the goldens compare within tolerance)."""
+    t = roughness * jnp.sqrt(u1) / jnp.sqrt(jnp.maximum(1.0 - u1, 1e-20))
+    cos_theta = jax.lax.rsqrt(1.0 + t * t)
+    sin_theta = t * cos_theta
+    return _from_frame(normal, cos_theta, sin_theta, u2 * TWO_PI)
 
 
 def uniform_sphere(u1, u2):
