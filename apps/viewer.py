@@ -196,7 +196,6 @@ def make_handler(state: ViewerState):
             elif path == "/stats":
                 from pathtracerwithcuda_tpu.utils.device_status import (
                     format_panel,
-                    snapshot,
                 )
 
                 body = json.dumps(
@@ -204,7 +203,7 @@ def make_handler(state: ViewerState):
                         "fps": round(session.fps, 2),
                         "frame_ms": round(session.last_frame_ms, 1),
                         "iteration": session.pass_counter,
-                        "device": format_panel(snapshot()),
+                        "device": format_panel(session.device_status.tick()),
                     }
                 ).encode()
                 self._send(200, body)

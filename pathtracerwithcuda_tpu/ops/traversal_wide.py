@@ -68,6 +68,15 @@ _UNROLL = int(_os.environ.get("PT_WIDE_UNROLL", "1"))
 # iteration of scalar work, but measured slightly WORSE than 1 on v5e
 # (extra idle pops + larger carry beat the latency saved) — keep 1.
 _PDEPTH = int(_os.environ.get("PT_WIDE_PDEPTH", "1"))
+# chains advanced together per walk-loop body (the round-5 "several
+# independent ray blocks' phases inside ONE body" reorganization): each body
+# pops+slab-tests C chains back-to-back (issuing their vector→scalar syncs),
+# then runs the C scalar slot-loop phases — so by the time chain c's bits
+# are read, C-1 further slab phases and c earlier consume phases have
+# executed, hiding the sync latency that owns the serial loop's critical
+# path.  Per-chain pop sequences (and results) are bit-identical to the
+# unmerged loop; only the schedule changes.  1 = the original serial loop.
+_CMERGE = int(_os.environ.get("PT_WIDE_CMERGE", "1"))
 STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
 # Drain-segment length — deliberately SMALLER than the binary kernel's 64:
 # with ordered descent the value of a drain is the best_t tightening it
@@ -107,6 +116,201 @@ def _slab8(sub_t, o, inv_d, best_t):
     far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                       jnp.maximum(tz0, tz1))
     return (near <= far) & (far > 0.0) & (near <= best_t)
+
+
+def _kernel_merged(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref,
+                   iz_ref, seed_ref, dx_ref, dy_ref, dz_ref, nbox_ref, tri_ref,
+                   out_t_ref, out_tri_ref, stack_ref, list_ref, mail_ref,
+                   bt_ref, btri_ref, *, num_wide: int, pad_tri: int,
+                   chains: int, leaf_k: int, cmerge: int):
+    """Chain-merged walk (see _CMERGE): C chains advance per loop body.
+
+    Body schedule: [pop_c -> slab_c (sync issued)] for c in 0..C-1, then
+    [consume_c (scalar slot loops)] for c in 0..C-1.  A chain's children
+    pushed by consume in body k are popped in body k+1 — exactly the
+    schedule of the serial pipelined loop (_PDEPTH=1), so per-chain pop
+    sequences and all results are bit-identical; the merge only gives each
+    vector→scalar sync C-1 slab phases plus earlier consume phases of slack
+    before its bits are read.  Walk segments end when EVERY merged chain's
+    rows are capped or empty (idle rows ride along masked), then the C
+    drains run back-to-back.
+    """
+    C = cmerge
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+    row_w1 = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0))
+    CR = C * ROWS
+
+    def group_body(g, _):
+        i0 = g * C
+        o_c, inv_c, d_c, sgn_c, iis = [], [], [], [], []
+        for c in range(C):
+            i = i0 + c
+            iis.append(i)
+            o_c.append([ox_ref[i], oy_ref[i], oz_ref[i]])
+            inv_c.append([ix_ref[i], iy_ref[i], iz_ref[i]])
+            d_c.append([dx_ref[i], dy_ref[i], dz_ref[i]])
+            bt_ref[c] = seed_ref[i]
+            btri_ref[c] = jnp.full((ROWS, LANES), -1, jnp.int32)
+            for r in range(ROWS):
+                stack_ref[i, r, 0] = jnp.int32(0)
+        for c in range(C):
+            sgn_c.append([
+                jnp.sum(jnp.where(
+                    jnp.sum(d_c[c][a], axis=1, keepdims=True) < 0.0,
+                    row_w1, 0))
+                for a in range(3)
+            ])
+
+        def outer_cond(carry):
+            alive = carry[0] > 0
+            for v in carry[1:]:
+                alive = alive | (v > 0)
+            return alive
+
+        def outer_body(carry):
+            def wcond(cc):
+                sps, curs = cc[:CR], cc[CR:]
+                alive = None
+                for k in range(CR):
+                    a = (sps[k] > 0) & (curs[k] < SEG_CAP)
+                    alive = a if alive is None else alive | a
+                return alive
+
+            def wbody(cc):
+                sps = list(cc[:CR])
+                curs = list(cc[CR:])
+                bits_all, nodes_all = [], []
+                for c in range(C):
+                    i = iis[c]
+                    nodes, stepping = [], []
+                    for r in range(ROWS):
+                        k = c * ROWS + r
+                        avail = sps[k]
+                        step = (avail > 0) & (curs[k] < SEG_CAP)
+                        top = jnp.maximum(avail - 1, 0)
+                        w = jnp.clip(stack_ref[i, r, top], 0, num_wide - 1)
+                        stepping.append(step)
+                        nodes.append(w)
+                        sps[k] = avail - jnp.where(step, 1, 0)
+                    bt_tile = bt_ref[c]
+                    accs = [None] * 4
+                    for r in range(ROWS):
+                        w = nodes[r]
+                        tile = nbox_ref[w // 16]
+                        base = (jax.lax.rem(w, 16)) * 8
+                        sub = pltpu.roll(tile, -base, axis=1)[:, :8]
+                        sub_t = _t8(sub)
+                        ob = [_row_bcast(f, r) for f in o_c[c]]
+                        ib = [_row_bcast(f, r) for f in inv_c[c]]
+                        hit = _slab8(sub_t, ob, ib, _row_bcast(bt_tile, r))
+                        hit = hit & stepping[r]
+                        si, shift = r // 2, 8 * (r % 2)
+                        w_r = jnp.left_shift(jnp.int32(1), shift + child_pow)
+                        h = jnp.max(jnp.where(hit, w_r, 0), axis=1,
+                                    keepdims=True)
+                        accs[si] = h if accs[si] is None else accs[si] + h
+                    bits_all.append([jnp.sum(a) for a in accs])
+                    nodes_all.append(nodes)
+                for c in range(C):
+                    i = iis[c]
+                    for r in range(ROWS):
+                        k = c * ROWS + r
+                        si, shift = r // 2, 8 * (r % 2)
+                        bits_rj = jax.lax.shift_right_logical(
+                            bits_all[c][si], shift) & 0xFF
+                        w = nodes_all[c][r]
+                        ax = axis_ref[w]
+                        sgn = jnp.where(
+                            ax == 0, sgn_c[c][0],
+                            jnp.where(ax == 1, sgn_c[c][1], sgn_c[c][2]))
+                        neg = (jax.lax.shift_right_logical(
+                            sgn, jnp.int32(r)) & 1) > 0
+
+                        def scond(cc2):
+                            return cc2[0] != 0
+
+                        def sbody(cc2, w=w, neg=neg, r=r, i=i):
+                            bits, s, cur = cc2
+                            k_hi = 31 - jax.lax.clz(bits)
+                            k_lo = 31 - jax.lax.clz(bits & (-bits))
+                            cslot = jnp.where(neg, k_lo, k_hi)
+                            m = meta_ref[w * ARITY + cslot]
+                            stack_ref[i, r, s] = m - 1
+                            s = s + jnp.where(m > 0, 1, 0)
+                            list_ref[i, r, cur] = -m
+                            cur = cur + jnp.where(m < 0, 1, 0)
+                            bits = bits & ~jax.lax.shift_left(
+                                jnp.int32(1), cslot)
+                            return bits, s, cur
+
+                        _, s_out, c_out = jax.lax.while_loop(
+                            scond, sbody, (bits_rj, sps[k], curs[k]))
+                        sps[k] = s_out
+                        curs[k] = c_out
+                return tuple(sps) + tuple(curs)
+
+            init = tuple(carry) + tuple(jnp.int32(0) for _ in range(CR))
+            walked = jax.lax.while_loop(wcond, wbody, init)
+
+            for c in range(C):
+                i = iis[c]
+                ns = [walked[CR + c * ROWS + r] for r in range(ROWS)]
+                nmax = ns[0]
+                for r in range(1, ROWS):
+                    nmax = jnp.maximum(nmax, ns[r])
+
+                def mt_body(l, carry2, i=i, ns=ns, c=c):
+                    starts, counts = [], []
+                    kmax = jnp.int32(0)
+                    for r in range(ROWS):
+                        packed = jnp.where(
+                            l < ns[r],
+                            list_ref[i, r, jnp.minimum(l, _list_cap() - 1)], 0)
+                        start = packed // 64
+                        count = packed - start * 64
+                        counts.append(count)
+                        starts.append(start)
+                        kmax = jnp.maximum(kmax, count)
+
+                    def k_body(k, carry3, counts=counts, starts=starts, c=c):
+                        best_t, best_tri = carry3
+                        tis = [jnp.where(k < counts[r], starts[r] + k, pad_tri)
+                               for r in range(ROWS)]
+                        cols = [
+                            _extract_col(tri_ref[ti // LANES],
+                                         jax.lax.rem(ti, LANES), lane_ids, 16)
+                            for ti in tis
+                        ]
+                        c16 = jnp.concatenate(cols, axis=1)
+                        t_lo = _t8(c16[0:8])
+                        t_hi = _t8(c16[8:16])
+                        f = [jnp.broadcast_to(t_lo[:, q:q + 1], (ROWS, LANES))
+                             for q in range(8)]
+                        f.append(jnp.broadcast_to(t_hi[:, 0:1], (ROWS, LANES)))
+                        ti_col = _rows_from_scalars(tis, row_ids, jnp.int32)
+                        return _moller_trumbore_rows(
+                            f, ti_col, best_t, best_tri, o_c[c], d_c[c])
+
+                    return jax.lax.fori_loop(0, kmax, k_body, carry2)
+
+                best_t, best_tri = jax.lax.fori_loop(
+                    0, nmax, mt_body, (bt_ref[c], btri_ref[c]))
+                bt_ref[c] = best_t
+                btri_ref[c] = best_tri
+            return tuple(walked[:CR])
+
+        outer_init = tuple(jnp.int32(1) for _ in range(CR))
+        jax.lax.while_loop(outer_cond, outer_body, outer_init)
+        for c in range(C):
+            i = iis[c]
+            out_t_ref[i] = bt_ref[c]
+            out_tri_ref[i] = btri_ref[c]
+        return 0
+
+    jax.lax.fori_loop(0, chains // C, group_body, 0)
 
 
 def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
@@ -463,9 +667,16 @@ def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
     """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
     num_packets = fields[0].shape[0]
     grid = num_packets // chains
-    kernel = functools.partial(_kernel, num_wide=num_wide, pad_tri=pad_tri,
-                               chains=chains, leaf_k=leaf_k,
-                               walk_only=walk_only)
+    cmerge = _CMERGE if (_CMERGE > 1 and not walk_only
+                         and chains % _CMERGE == 0) else 1
+    if cmerge > 1:
+        kernel = functools.partial(_kernel_merged, num_wide=num_wide,
+                                   pad_tri=pad_tri, chains=chains,
+                                   leaf_k=leaf_k, cmerge=cmerge)
+    else:
+        kernel = functools.partial(_kernel, num_wide=num_wide, pad_tri=pad_tri,
+                                   chains=chains, leaf_k=leaf_k,
+                                   walk_only=walk_only)
     block = pl.BlockSpec((chains, ROWS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out_t, out_tri = pl.pallas_call(
@@ -488,8 +699,8 @@ def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
             pltpu.SMEM((chains, ROWS, STACK_CAP), jnp.int32),
             pltpu.SMEM((chains, ROWS, _list_cap()), jnp.int32),
             pltpu.SMEM((chains, ROWS, 2), jnp.int32),  # pl.when mailbox
-            pltpu.VMEM((1, ROWS, LANES), jnp.float32),
-            pltpu.VMEM((1, ROWS, LANES), jnp.int32),
+            pltpu.VMEM((cmerge, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((cmerge, ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(meta, axis, *fields, nbox, tris)

@@ -49,6 +49,17 @@ class RenderSession:
         self.pass_counter = 0
         self.start_time = time.monotonic()
         self.last_frame_ms = 0.0
+        from pathtracerwithcuda_tpu.utils.device_status import DeviceStatus
+
+        # telemetry: memory/topology snapshot + device-busy utilization
+        # (fed below) + clock probe — the NVML panel analog
+        self.device_status = DeviceStatus()
+        # bounded retry for on_error="retry": transient device/link failures
+        # (the axon tunnel drops, XLA "DEADLINE_EXCEEDED"/"UNAVAILABLE") are
+        # retried with backoff; persistent errors still surface
+        self.max_retries = 3
+        self.retry_backoff_s = 0.5
+        self.failed_passes = 0  # observability: skipped/exhausted passes
 
     # ------------------------------------------------------------------
     def render(self, on_error: str = "raise") -> None:
@@ -59,43 +70,62 @@ class RenderSession:
         "skip" logs and leaves the accumulation untouched — the analog of
         the reference's print-the-CUDA-error-and-keep-looping behaviour
         (its check_cuda_error prints and the render loop continues), for
-        long interactive sessions over flaky device links.
+        long interactive sessions over flaky device links;
+        "retry" re-attempts the pass up to max_retries times with
+        exponential backoff before falling back to skip semantics —
+        recovery for transient link/device failures.  A pass is a pure
+        function of (accum, pass_counter), so a retry after a partial
+        failure is exact: nothing is double-accumulated.
         """
         t0 = time.monotonic()
         from pathtracerwithcuda_tpu.render.wavefront import choose_loop_mode
 
         prev_accum = self.accum
-        try:
-            if choose_loop_mode(self.scene, self.config) == "host":
-                from pathtracerwithcuda_tpu.render.wavefront import (
-                    render_pass_host,
-                )
+        attempts = 1 + (self.max_retries if on_error == "retry" else 0)
+        for attempt in range(attempts):
+            try:
+                if choose_loop_mode(self.scene, self.config) == "host":
+                    from pathtracerwithcuda_tpu.render.wavefront import (
+                        render_pass_host,
+                    )
 
-                self.accum = render_pass_host(
-                    self.scene, self.camera.get_render_camera(), self.config,
-                    self.accum, self.pass_counter, self.base_key,
-                )
-            else:
-                self.accum = render_pass(
-                    self.scene,
-                    self.camera.get_render_camera(),
-                    self.config,
-                    self.accum,
-                    self.pass_counter,
-                    self.base_key,
-                )
-            self.accum.block_until_ready()
-        except Exception:
-            if on_error != "skip":
-                raise
-            import logging
+                    self.accum = render_pass_host(
+                        self.scene, self.camera.get_render_camera(),
+                        self.config, self.accum, self.pass_counter,
+                        self.base_key,
+                    )
+                else:
+                    self.accum = render_pass(
+                        self.scene,
+                        self.camera.get_render_camera(),
+                        self.config,
+                        self.accum,
+                        self.pass_counter,
+                        self.base_key,
+                    )
+                self.accum.block_until_ready()
+                break
+            except Exception:
+                import logging
 
-            logging.getLogger(__name__).exception(
-                "render pass %d failed; accumulation unchanged",
-                self.pass_counter)
-            self.accum = prev_accum
-            return
-        self.last_frame_ms = (time.monotonic() - t0) * 1e3
+                self.accum = prev_accum
+                if on_error == "raise":
+                    raise
+                log = logging.getLogger(__name__)
+                if attempt + 1 < attempts:
+                    log.exception(
+                        "render pass %d failed (attempt %d/%d); retrying",
+                        self.pass_counter, attempt + 1, attempts)
+                    time.sleep(self.retry_backoff_s * 2**attempt)
+                    continue
+                log.exception(
+                    "render pass %d failed; accumulation unchanged",
+                    self.pass_counter)
+                self.failed_passes += 1
+                return
+        busy = time.monotonic() - t0
+        self.last_frame_ms = busy * 1e3
+        self.device_status.utilization.add_busy(busy)
         self.pass_counter += 1
 
     def clear(self) -> None:

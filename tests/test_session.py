@@ -258,3 +258,62 @@ def test_render_on_error_skip(monkeypatch):
     monkeypatch.undo()
     s.render()  # healthy again
     assert s.pass_counter == 2
+
+
+def test_render_on_error_retry(monkeypatch):
+    """on_error='retry' recovers from transient failures: the pass is a
+    pure function of (accum, pass_counter), so a retry after a partial
+    failure double-accumulates nothing; persistent failure degrades to
+    skip semantics and is counted in failed_passes."""
+    s = _session()
+    s.retry_backoff_s = 0.0
+    s.render()
+    good = np.asarray(s.accum).copy()
+
+    import pathtracerwithcuda_tpu.render.session as sess_mod
+
+    real = sess_mod.render_pass
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("injected transient failure")
+        return real(*a, **k)
+
+    monkeypatch.setattr(sess_mod, "render_pass", flaky)
+    monkeypatch.setattr(
+        "pathtracerwithcuda_tpu.render.wavefront.render_pass_host", flaky)
+    s.render(on_error="retry")  # fails twice, succeeds on 3rd attempt
+    assert s.pass_counter == 2
+    assert s.failed_passes == 0
+    assert not np.array_equal(np.asarray(s.accum), good)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected persistent failure")
+
+    monkeypatch.setattr(sess_mod, "render_pass", boom)
+    monkeypatch.setattr(
+        "pathtracerwithcuda_tpu.render.wavefront.render_pass_host", boom)
+    before = np.asarray(s.accum).copy()
+    s.render(on_error="retry")  # exhausts retries, state unchanged
+    assert s.pass_counter == 2
+    assert s.failed_passes == 1
+    assert np.array_equal(np.asarray(s.accum), before)
+
+
+def test_device_telemetry_panel():
+    """The NVML-panel analog reports utilization (device-busy fraction fed
+    by the render loop) and the clock-probe throttle signal alongside the
+    memory/topology snapshot (reference Others/device_status.cpp)."""
+    from pathtracerwithcuda_tpu.utils.device_status import format_panel
+
+    s = _session()
+    s.render()
+    info = s.device_status.tick(probe=True)
+    assert 0 <= info["utilization_pct"] <= 100
+    assert info["utilization_pct"] > 0  # render() fed busy time
+    assert info["probe_gflops"] > 0
+    assert 0.0 < info["probe_clock_fraction"] <= 1.0
+    panel = format_panel(info)
+    assert "Util:" in panel and "Clock probe:" in panel
