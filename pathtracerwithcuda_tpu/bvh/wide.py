@@ -44,7 +44,8 @@ class WideBVH:
 
 
 def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
-                  tri_count: np.ndarray, arity: int = ARITY) -> WideBVH:
+                  tri_count: np.ndarray, arity: int = ARITY,
+                  leaf_run_max: int = 0) -> WideBVH:
     """Greedy top-down collapse of the preorder/skip-link binary forest.
 
     Binary children of internal node i are (i+1, next_index[i+1]) — the
@@ -54,6 +55,16 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
     slots are leaves.  Forest roots (multi-mesh concatenation,
     bvh/flatten.py::concatenate_bvhs) become slots of a virtual wide root;
     more than `arity` roots get grouped through intermediate wide nodes.
+
+    leaf_run_max > 0 additionally terminates any slot whose SUBTREE holds at
+    most that many triangles in one contiguous run (SAH/LBVH flattening
+    orders triangles by preorder subtree, so small subtrees almost always
+    are): the whole subtree becomes a single fat leaf slot.  Without this,
+    bottom-of-tree wide nodes average ~2-4 filled slots (a binary node with
+    two 8-triangle leaf children still costs a pop), which makes the walk
+    iteration count — the Pallas kernel's serialization floor — far larger
+    than the tree's span warrants.  Fat leaves trade cheap vector
+    Möller–Trumbore work in the drain for those pops.
     """
     next_index = np.asarray(next_index, np.int64)
     tri_count = np.asarray(tri_count, np.int64)
@@ -64,13 +75,37 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
                        meta=np.zeros((0, arity), np.int32), max_stack=1)
     is_leaf = tri_count > 0
 
+    if leaf_run_max > 0:
+        if leaf_run_max > 63:
+            raise ValueError("leaf_run_max > 63 breaks start*64+count packing")
+        # bottom-up (reverse preorder) subtree triangle ranges: children of
+        # internal i are (i+1, next_index[i+1])
+        lo = np.where(is_leaf, tri_start, 0)
+        hi = np.where(is_leaf, tri_start + tri_count, 0)
+        tot = tri_count.copy()
+        for i in range(n - 1, -1, -1):
+            if not is_leaf[i]:
+                a = i + 1
+                b = int(next_index[a])
+                lo[i] = min(lo[a], lo[b])
+                hi[i] = max(hi[a], hi[b])
+                tot[i] = tot[a] + tot[b]
+        # a subtree is a mergeable run iff its leaves tile [lo, hi) exactly
+        run_ok = (tot <= leaf_run_max) & (hi - lo == tot) & (tot > 0)
+        term = is_leaf | run_ok
+        run_start = np.where(is_leaf, tri_start, lo)
+        run_count = np.where(is_leaf, tri_count, tot)
+    else:
+        term = is_leaf
+        run_start, run_count = tri_start, tri_count
+
     def split_until(slots):
         """Split internal slots (largest span first) until arity slots."""
         slots = list(slots)
         while len(slots) < arity:
             best_span, best_i = 0, -1
             for idx, s in enumerate(slots):
-                if not is_leaf[s]:
+                if not term[s]:
                     span = int(next_index[s] - s)
                     if span > best_span:
                         best_span, best_i = span, idx
@@ -113,7 +148,7 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
 
     depth_of = {0: 1}
     max_depth = 1
-    if len(roots) == 1 and not is_leaf[roots[0]]:
+    if len(roots) == 1 and not term[roots[0]]:
         reserve(split_until([roots[0] + 1, int(next_index[roots[0] + 1])]))
     elif len(roots) <= arity:
         reserve(split_until(roots))
@@ -127,10 +162,10 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
         meta_rows.append(np.zeros(arity, np.int32))
         root_srcs: list[int] = []
         for c, g in enumerate(groups):
-            if len(g) == 1 and is_leaf[g[0]]:
+            if len(g) == 1 and term[g[0]]:
                 b = g[0]
-                meta_rows[root_wid][c] = -(int(tri_start[b]) * 64
-                                           + int(tri_count[b]))
+                meta_rows[root_wid][c] = -(int(run_start[b]) * 64
+                                           + int(run_count[b]))
                 root_srcs.append(b)
                 continue
             if len(g) == 1:
@@ -149,8 +184,8 @@ def collapse_wide(next_index: np.ndarray, tri_start: np.ndarray,
         wid, slots = work.pop()
         meta = meta_rows[wid]
         for c, b in enumerate(slots):
-            if is_leaf[b]:
-                meta[c] = -(int(tri_start[b]) * 64 + int(tri_count[b]))
+            if term[b]:
+                meta[c] = -(int(run_start[b]) * 64 + int(run_count[b]))
             else:
                 child_slots = split_until([b + 1, int(next_index[b + 1])])
                 cid = reserve(child_slots)
@@ -202,10 +237,21 @@ def validate_wide(wide: WideBVH, next_index, tri_start, tri_count) -> list:
                 if (start, count) in runs:
                     errors.append(f"slot ({w},{c}): duplicate run {start}+{count}")
                 runs.add((start, count))
-                if start != int(tri_start[b]) or count != int(tri_count[b]):
+                if int(tri_count[b]) > 0 and (
+                        start != int(tri_start[b])
+                        or count != int(tri_count[b])):
                     errors.append(f"slot ({w},{c}): run mismatch vs binary {b}")
-    want = {(int(s), int(c))
-            for s, c in zip(tri_start, tri_count) if c > 0}
-    if runs != want:
-        errors.append(f"leaf run set mismatch: {len(runs)} vs {len(want)}")
+    # every binary leaf's triangles appear in exactly one slot run (a slot
+    # may merge a whole small subtree into one contiguous run — collapse
+    # leaf_run_max — so compare triangle COVERAGE, not run identity)
+    covered: list = []
+    for s, c in runs:
+        covered.extend(range(s, s + c))
+    want_tris: list = []
+    for s, c in zip(tri_start, tri_count):
+        want_tris.extend(range(int(s), int(s) + int(c)))
+    if sorted(covered) != sorted(want_tris):
+        errors.append(
+            f"leaf coverage mismatch: {len(covered)} slot tris vs "
+            f"{len(want_tris)} binary leaf tris")
     return errors

@@ -51,7 +51,23 @@ from pathtracerwithcuda_tpu.ops.traversal_pallas import (
 
 import os as _os
 
-ARITY = 8
+# tree arity (children per wide node).  8 = one (8, 128) slab per pop;
+# 16 halves the pop count (the per-iteration serialization floor is paid
+# half as often) at 2x the vector work per pop — the vector side is <10%
+# of the iteration budget, so wider wins whenever the walk is
+# iteration-bound.  16 needs 2 sub-tile transposes per pop and full-32-bit
+# sync words (see _any_hit_bits).
+ARITY = int(_os.environ.get("PT_WIDE_ARITY", "8"))
+_NPT = LANES // ARITY    # wide nodes per 128-lane nbox tile group
+# rows packed per vector→scalar sync word (ARITY bits per row).  The
+# packed reduce ORs rows into disjoint bit ranges via addition, so bit 31
+# is usable (see _any_hit_bits) — 32 // ARITY rows always fit.
+_RPS = int(_os.environ.get("PT_WIDE_RPS", "2"))
+# fat-leaf merging: subtrees of <= this many contiguous triangles collapse
+# into ONE leaf slot (bvh/wide.py collapse_wide leaf_run_max).  Raises slot
+# fill at the bottom of the tree, which directly cuts walk iterations — the
+# kernel's serialization floor — in exchange for cheap vector MT tests.
+_LEAFRUN = int(_os.environ.get("PT_WIDE_LEAFRUN", "0"))
 WIDE_CHAINS = 8          # chains per kernel instance (sequential fori)
 # experiment knob (kprof): how phase 1 consumes the pending hit bits —
 # "sparse" (production: clz-driven set-bit iteration — SMEM stores/meta
@@ -77,7 +93,9 @@ _PDEPTH = int(_os.environ.get("PT_WIDE_PDEPTH", "1"))
 # path.  Per-chain pop sequences (and results) are bit-identical to the
 # unmerged loop; only the schedule changes.  1 = the original serial loop.
 _CMERGE = int(_os.environ.get("PT_WIDE_CMERGE", "1"))
-STACK_CAP = 64           # per-row traversal stack (collapse asserts fit)
+# per-row traversal stack; 16-wide trees are shallower but push up to 15
+# deferred siblings per level, so their worst-case bound is larger
+STACK_CAP = 64 if ARITY == 8 else 128
 # Drain-segment length — deliberately SMALLER than the binary kernel's 64:
 # with ordered descent the value of a drain is the best_t tightening it
 # feeds back into the slab prune, so draining every ~2 leaf appends
@@ -95,16 +113,43 @@ def _list_cap() -> int:
     return SEG_CAP + _PDEPTH * _NPOP * ARITY + 1
 
 
-def _row_bcast(tile, r: int):
-    """(8,128) chain tile, static row r -> that row broadcast to (8,128)."""
-    return jnp.broadcast_to(tile[r:r + 1, :], (ROWS, LANES))
+def _row_bcast(tile, r: int, nrows: int = ROWS):
+    """(8,128) chain tile, static row r -> that row broadcast to (nrows,128)."""
+    return jnp.broadcast_to(tile[r:r + 1, :], (nrows, LANES))
+
+
+def _tA(sub):
+    """(8 fields, ARITY children) -> (ARITY, 8) via native (8,8) transposes
+    (Mosaic lowers square transposes exactly; see _t8)."""
+    if ARITY == 8:
+        return _t8(sub)
+    return jnp.concatenate(
+        [_t8(sub[:, k:k + 8]) for k in range(0, ARITY, 8)], axis=0)
+
+
+def _any_hit_bits(hit, shift: int):
+    """(ARITY, 128) hit mask -> (ARITY, 1) column whose sublane c holds
+    2^(shift+c) if any lane of child c hit, else 0 — summing columns of
+    disjoint bit ranges then ORs rows into one sync word via addition.
+    Two-step (any-hit 0/1 first, then static power weights) so bit 31 is
+    usable: 1<<31 wraps to INT32_MIN, and adding disjoint powers is
+    carry-free, so the summed word's BIT PATTERN is exact even when the
+    int32 goes negative (the scalar side reads it with logical shifts)."""
+    h01 = jnp.max(jnp.where(hit, 1, 0), axis=1, keepdims=True)
+    wcol = jnp.left_shift(
+        jnp.int32(1),
+        shift + jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0))
+    return h01 * wcol
 
 
 def _slab8(sub_t, o, inv_d, best_t):
-    """sub_t: (8 children, 8 fields [minx..maxz]) box block; o/inv_d/best_t:
-    per-row (8,128) broadcasts.  Returns (8 children, 128 rays) hit mask."""
+    """sub_t: (ARITY children, 8 fields [minx..maxz]) box block; o/inv_d/
+    best_t: per-row (ARITY,128) broadcasts.  Returns (ARITY children,
+    128 rays) hit mask."""
+    nrows = sub_t.shape[0]
+
     def f(q):
-        return jnp.broadcast_to(sub_t[:, q:q + 1], (ROWS, LANES))
+        return jnp.broadcast_to(sub_t[:, q:q + 1], (nrows, LANES))
     tx0 = (f(0) - o[0]) * inv_d[0]
     ty0 = (f(1) - o[1]) * inv_d[1]
     tz0 = (f(2) - o[2]) * inv_d[2]
@@ -335,12 +380,8 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
     """
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
-    # per-(row-in-group, child) sync weights: child c of the g-th row pair's
-    # row rg gets 2^(8*rg + c) — 16 bits per sync, packed in int32 (Mosaic
-    # cannot reduce unsigned ints, and bit 31 in int32 goes negative and is
-    # dropped by the max)
-    child_pow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
-
+    # sync packing: child c of a sync group's row rg gets bit ARITY*rg + c
+    # (see _any_hit_bits for why the full 32 bits are usable)
     row_w1 = jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0))
 
@@ -350,8 +391,8 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
         d = [dx_ref[i], dy_ref[i], dz_ref[i]]
         bt_ref[0] = seed_ref[i]
         btri_ref[0] = jnp.full((ROWS, LANES), -1, jnp.int32)
-        ob = [[_row_bcast(f, r) for f in o] for r in range(ROWS)]
-        ib = [[_row_bcast(f, r) for f in inv] for r in range(ROWS)]
+        ob = [[_row_bcast(f, r, ARITY) for f in o] for r in range(ROWS)]
+        ib = [[_row_bcast(f, r, ARITY) for f in inv] for r in range(ROWS)]
         # per-row MAJORITY direction-sign bits per axis (one sync per axis
         # per chain, amortized over the whole walk); rows share an octant
         # after the production repack sort, so the majority is the row
@@ -396,12 +437,14 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             # Carry: sps[8], curs[8], pending bits32[NSYNC], pending
             # nodes[8*_NPOP], pending valid[8*_NPOP] (+ pops[8], stales[8]
             # when walk_only).
-            NP = _NPOP
+            NP = _NPOP if ARITY == 8 else 1
             NW = ROWS * NP
             D = max(_PDEPTH, 1)
-            if NP == 1:  # 2 rows x 8 child bits per sync
-                sync_of = {(r, 0): (r // 2, 8 * (r % 2)) for r in range(ROWS)}
-                NSYNC = 4
+            if NP == 1:  # _RPS rows x ARITY child bits per sync
+                rps = max(1, min(_RPS, 32 // ARITY))
+                sync_of = {(r, 0): (r // rps, ARITY * (r % rps))
+                           for r in range(ROWS)}
+                NSYNC = ROWS // rps
             else:        # one row per sync, 8 bits per popped node
                 sync_of = {(r, j): (r, 8 * j)
                            for r in range(ROWS) for j in range(NP)}
@@ -449,7 +492,8 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                         si, shift = sync_of[(r, j)]
                         bits_rj = jnp.where(
                             pv[k] > 0,
-                            jax.lax.shift_right_logical(pb[si], shift) & 0xFF,
+                            jax.lax.shift_right_logical(pb[si], shift)
+                            & ((1 << ARITY) - 1),
                             0)
                         if walk_only:
                             stales[r] = stales[r] + jnp.where(
@@ -549,19 +593,17 @@ def _kernel(meta_ref, axis_ref, ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
                         k = r * NP + j
                         si, shift = sync_of[(r, j)]
                         w = nodes[k]
-                        tile = nbox_ref[w // 16]
-                        base = (jax.lax.rem(w, 16)) * 8
+                        tile = nbox_ref[w // _NPT]
+                        base = (jax.lax.rem(w, _NPT)) * ARITY
                         # dynamic lane extraction: Mosaic lowers roll with a
                         # traced shift natively (verified exact on v5e);
                         # dynamic_slice on values is not lowered at all
-                        sub = pltpu.roll(tile, -base, axis=1)[:, :8]
-                        sub_t = _t8(sub)  # (child, field)
+                        sub = pltpu.roll(tile, -base, axis=1)[:, :ARITY]
+                        sub_t = _tA(sub)  # (child, field)
                         hit = _slab8(sub_t, ob[r], ib[r],
-                                     _row_bcast(bt_tile, r))
+                                     _row_bcast(bt_tile, r, ARITY))
                         hit = hit & stepping[k]
-                        w_r = jnp.left_shift(jnp.int32(1), shift + child_pow)
-                        h = jnp.max(jnp.where(hit, w_r, 0), axis=1,
-                                    keepdims=True)  # (8,1) per-child any-hit
+                        h = _any_hit_bits(hit, shift)
                         accs[si] = h if accs[si] is None else accs[si] + h
                 bits32 = [jnp.sum(a) for a in accs]  # ONE sync each
 
@@ -667,7 +709,7 @@ def _run(fields, nbox, meta, axis, tris, num_wide: int, pad_tri: int,
     """fields: 10 arrays (num_packets, 8, 128): ox oy oz ix iy iz seed dx dy dz."""
     num_packets = fields[0].shape[0]
     grid = num_packets // chains
-    cmerge = _CMERGE if (_CMERGE > 1 and not walk_only
+    cmerge = _CMERGE if (_CMERGE > 1 and not walk_only and ARITY == 8
                          and chains % _CMERGE == 0) else 1
     if cmerge > 1:
         kernel = functools.partial(_kernel_merged, num_wide=num_wide,
@@ -726,7 +768,7 @@ def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
     Never raises on a too-deep tree: callers gate on wide.max_stack
     (render/wavefront._wide_ok falls back to the binary row kernel;
     traverse_bvh_wide raises for the direct test path)."""
-    fast = (id(bvh_next), id(bvh_tri_start), id(bvh_tri_count))
+    fast = (id(bvh_next), id(bvh_tri_start), id(bvh_tri_count), ARITY)
     hit = _STRUCT_IDS.get(fast)
     if hit is not None:
         # entry keeps the keyed arrays alive, so the id tuple cannot have
@@ -736,10 +778,11 @@ def wide_structure(bvh_next, bvh_tri_start, bvh_tri_count) -> WideBVH:
     ts = np.asarray(bvh_tri_start)
     tc = np.asarray(bvh_tri_count)
     key = (nxt.shape[0], hash(nxt.tobytes()), hash(ts.tobytes()),
-           hash(tc.tobytes()))
+           hash(tc.tobytes()), ARITY, _LEAFRUN)
     wide = _STRUCT_CACHE.get(key)
     if wide is None:
-        wide = collapse_wide(nxt, ts, tc)
+        wide = collapse_wide(nxt, ts, tc, arity=ARITY,
+                             leaf_run_max=_LEAFRUN)
         if len(_STRUCT_CACHE) > 8:  # a handful of live scenes at most
             _STRUCT_CACHE.clear()
         _STRUCT_CACHE[key] = wide

@@ -251,12 +251,14 @@ def test_wide_many_mesh_roots_grouped(n_meshes, monkeypatch):
 
 
 def test_wide_ok_falls_back_beyond_group_limit():
-    """More roots than one grouping level covers (> 64): _wide_ok returns
-    None (binary-kernel fallback) instead of crashing the production loop."""
+    """More roots than one grouping level covers (> arity^2): _wide_ok
+    returns None (binary-kernel fallback) instead of crashing the
+    production loop."""
+    from pathtracerwithcuda_tpu.ops import traversal_wide as twd
     from pathtracerwithcuda_tpu.render.wavefront import _wide_ok
 
     config = flagship_config(width=64, height=32, loop_mode="host")
-    scene = build_scene_data(_many_quad_scene(65), config)
+    scene = build_scene_data(_many_quad_scene(twd.ARITY**2 + 1), config)
     assert _wide_ok(scene, config) is None
 
 
